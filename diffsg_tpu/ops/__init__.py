@@ -1,0 +1,2 @@
+from .objectives import msr_sum_rate, co_cost, nu_rate, nu_channel_gains
+from .decoders import msr_decode, co_decode, nu_decode

@@ -1,0 +1,86 @@
+"""Golden-value tests for schedules, objectives, decoders, preprocessing.
+
+Golden arrays in tests/fixtures/*.npz were produced by running the reference
+torch implementation (see tools/gen_reference_fixtures.py).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from diffsg_tpu.diffusion import cosine_beta_schedule, schedule_from_betas
+from diffsg_tpu.ops import msr_sum_rate, co_cost, nu_rate, msr_decode, co_decode, nu_decode
+from diffsg_tpu.data import data_preprocess_co
+
+
+def test_cosine_schedule_matches_reference(fixture_dir):
+    fx = np.load(fixture_dir / "schedule_T20.npz")
+    np.testing.assert_allclose(cosine_beta_schedule(20), fx["betas_T20"], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(cosine_beta_schedule(500), fx["betas_T500"], rtol=0, atol=1e-12)
+    # The nonstandard 0.84 clip engages exactly at the last step for T=20.
+    assert cosine_beta_schedule(20)[-1] == 0.84
+
+
+def test_schedule_coefficients():
+    betas = cosine_beta_schedule(20)
+    s = schedule_from_betas(betas)
+    alphas = 1 - betas
+    acp = np.cumprod(alphas)
+    np.testing.assert_allclose(np.asarray(s.alphas_cumprod), acp, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s.remove_noise_coeff), betas / np.sqrt(1 - acp), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s.reciprocal_sqrt_alphas), np.sqrt(1 / alphas), rtol=1e-6)
+    assert s.T == 20
+
+
+def test_preprocess_co(fixture_dir):
+    fx = np.load(fixture_dir / "preprocess_co.npz")
+    got = data_preprocess_co(fx["raw"])
+    np.testing.assert_allclose(got, fx["simplified"], rtol=1e-12)
+
+
+def test_msr_sum_rate(fixture_dir):
+    fx = np.load(fixture_dir / "objectives.npz")
+    got = msr_sum_rate(jnp.asarray(fx["msr_p"], jnp.float32), jnp.asarray(fx["msr_g"], jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), fx["msr_rate"], rtol=1e-5)
+
+
+def test_co_cost(fixture_dir):
+    fx = np.load(fixture_dir / "objectives.npz")
+    got = co_cost(jnp.asarray(fx["co_X"], jnp.float32), jnp.asarray(fx["co_Y"], jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), fx["co_cost"], rtol=1e-5)
+
+
+def test_nu_rate(fixture_dir):
+    fx = np.load(fixture_dir / "objectives.npz")
+    got = nu_rate(jnp.asarray(fx["nu_Y"], jnp.float32), jnp.asarray(fx["nu_X"], jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), fx["nu_rate"], rtol=1e-5)
+
+
+def test_decoders(fixture_dir):
+    fx = np.load(fixture_dir / "decoders.npz")
+    y = jnp.asarray(fx["y_raw"], jnp.float32)
+    np.testing.assert_allclose(np.asarray(msr_decode(y)), fx["msr_dec"], rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(co_decode(y)), fx["co_dec"], rtol=1e-5, atol=1e-7)
+    y_nu = jnp.asarray(fx["y_nu_raw"], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(nu_decode(y_nu, 400, 400, 18.0)), fx["nu_dec"], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_co_decode_all_local_sentinel():
+    y = jnp.full((4, 3), -50.0)
+    assert np.all(np.asarray(co_decode(y)) == 0.0)
+
+
+def test_feasibility_properties():
+    """Decoded solutions satisfy the task constraint sets."""
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.normal(0, 5, (64, 7)), jnp.float32)
+    # MSR: rows sum to 1 (powers = W * decode)
+    np.testing.assert_allclose(np.asarray(msr_decode(y)).sum(1), 1.0, rtol=1e-5)
+    # CO: softmax rows sum to 1
+    np.testing.assert_allclose(np.asarray(co_decode(y)).sum(1), 1.0, rtol=1e-5)
+    # NU: powers sum to P_sum, coords inside the area
+    dec = np.asarray(nu_decode(jnp.asarray(rng.normal(0, 5, (64, 5)), jnp.float32), 400, 400, 18.0))
+    np.testing.assert_allclose(dec[:, 2:].sum(1), 18.0, rtol=1e-5)
+    assert dec[:, 0].min() >= 0 and dec[:, 0].max() <= 400
+    assert dec[:, 1].min() >= 0 and dec[:, 1].max() <= 400
