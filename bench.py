@@ -1,0 +1,77 @@
+"""Benchmark: solutions/sec/chip at 100 denoise steps (north-star metric).
+
+Flagship config per BASELINE.json: the MSR-3c classifier-free UNet1D
+(1.54M params) driven by the CFG reverse sampler — each denoise step is one
+folded 2B-row forward (cond+uncond).  The DDPM MSR checkpoint is a missing
+blob in the reference, so weights are deterministic random; throughput does
+not depend on weight values.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "solutions/s", "vs_baseline": N/10000}
+vs_baseline is measured against the north-star target of 10k solutions/s on
+one v5e chip at T=100 (BASELINE.md; the torch reference measures ~230
+solutions/s on CPU at T=20 for this model, i.e. ~46/s at T=100).
+"""
+
+import json
+import time
+
+import numpy as np
+
+TARGET_SOLUTIONS_PER_SEC = 10_000.0
+T = 100
+OMEGA = 500.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from diffsg_tpu.models import unet_msr
+    from diffsg_tpu.diffusion import cfg_sample, cosine_schedule
+    from diffsg_tpu.train import torch_style_init
+
+    model = unet_msr(3)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(key, jnp.zeros((1, 3)), jnp.zeros((1,)),
+                           jnp.zeros((1, 3)), jnp.ones((1, 1)))
+    params = torch_style_init(variables["params"], key)
+    sched = cosine_schedule(T)
+
+    def apply_fn(p, y, t, c, m):
+        return model.apply({"params": p}, y, t, c, m)
+
+    @jax.jit
+    def run(cond, k):
+        y0, _ = cfg_sample(apply_fn, params, sched, cond, OMEGA, 3, key=k)
+        return y0
+
+    best = 0.0
+    best_B = 0
+    rng = np.random.default_rng(0)
+    for B in (2048, 8192, 32768):
+        cond = jnp.asarray(rng.uniform(0, 1, (B, 3)), jnp.float32)
+        k = jax.random.PRNGKey(1)
+        run(cond, k).block_until_ready()  # compile + warmup
+        iters = 3
+        t0 = time.perf_counter()
+        for i in range(iters):
+            run(cond, jax.random.PRNGKey(2 + i)).block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+        sps = B / dt
+        if sps > best:
+            best, best_B = sps, B
+
+    print(json.dumps({
+        "metric": f"msr3c_solutions_per_sec_chip_T{T}",
+        "value": round(best, 1),
+        "unit": "solutions/s",
+        "vs_baseline": round(best / TARGET_SOLUTIONS_PER_SEC, 3),
+        "batch_size": best_B,
+        "omega": OMEGA,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

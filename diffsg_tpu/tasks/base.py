@@ -1,0 +1,132 @@
+"""Task-plugin interface.
+
+The reference repo's three ``classifier_free_*.py`` files are ~85% identical;
+the actual per-task surface is: a loader, a denoiser config, a decoder, an
+objective, and a metric report.  This module defines that interface once;
+``diffsg_tpu.tasks.{msr,co,nu}`` provide the three instances, and the
+diffusion engine / trainer / baselines are all task-generic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loaders import TaskData
+from ..diffusion.ddpm import cfg_sample
+from ..diffusion.schedule import Schedule
+from ..train.trainer import TrainConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class Task:
+    """One network-optimization problem plugged into the generic engine.
+
+    ``decode(Y_raw, config)``: raw sampler output -> feasible solutions
+      (unnormalized, ready for the objective).
+    ``objective(Y_dec, X_unnorm, config)``: per-sample objective values.
+    ``unnormalize_x/y``: loader-scaled arrays -> physical units.
+    ``higher_is_better``: rate-maximization (MSR, NU) vs cost-minimization (CO).
+    """
+
+    name: str
+    build_model: Callable[[Dict], Any]
+    load: Callable[..., TaskData]
+    decode: Callable[[jnp.ndarray, Dict], jnp.ndarray]
+    objective: Callable[[jnp.ndarray, jnp.ndarray, Dict], jnp.ndarray]
+    unnormalize_x: Callable[[np.ndarray, Dict], np.ndarray]
+    unnormalize_y: Callable[[np.ndarray, Dict], np.ndarray]
+    higher_is_better: bool
+    data_dim: Callable[[Dict], int]
+    cond_dim: Callable[[Dict], int]
+    train_config: TrainConfig
+    default_omega: float = 500.0
+    extra_metrics: Optional[Callable[..., Dict[str, float]]] = None
+
+
+def sample_solutions(
+    task: Task,
+    params: Any,
+    sched: Schedule,
+    X_test: np.ndarray,
+    config: Dict,
+    omega: Optional[float] = None,
+    batch_size: int = 512,
+    seed: int = 0,
+    record_trace: bool = False,
+):
+    """Batched sampling over a test split, decoding per batch.
+
+    Decoding happens per batch of ``batch_size`` to reproduce the
+    reference's batch-global decoder normalization at eval batch 512.
+    Returns (Y_decoded (N, D) np, traces list or None).
+    """
+    model = task.build_model(config)
+
+    def apply_fn(p, y, t, c, m):
+        return model.apply({"params": p}, y, t, c, m)
+
+    omega = task.default_omega if omega is None else omega
+    D = task.data_dim(config)
+
+    @jax.jit
+    def run(cond, key):
+        y0, trace = cfg_sample(
+            apply_fn, params, sched, cond, omega, D, key=key,
+            record_trace=record_trace,
+        )
+        return task.decode(y0, config), trace
+
+    key = jax.random.PRNGKey(seed)
+    outs, traces = [], []
+    for i in range(0, X_test.shape[0], batch_size):
+        key, k = jax.random.split(key)
+        cond = jnp.asarray(X_test[i : i + batch_size], jnp.float32)
+        dec, trace = run(cond, k)
+        outs.append(np.asarray(dec))
+        if record_trace:
+            traces.append(jax.tree.map(np.asarray, trace))
+    return np.concatenate(outs), (traces if record_trace else None)
+
+
+def evaluate(
+    task: Task,
+    params: Any,
+    sched: Schedule,
+    data: TaskData,
+    omega: Optional[float] = None,
+    batch_size: int = 512,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Reference metric block: objective ratio + avg diff (+ task extras).
+
+    "less ratio" (maximization) / "exceeded ratio" (minimization)
+    = sum(pred objective) / sum(true objective)
+    (``classifier_free_MSR.py:297``, ``_CO.py:353``, ``_NU.py:360``).
+    """
+    Y_dec, _ = sample_solutions(
+        task, params, sched, data.X_test, data.config, omega, batch_size, seed
+    )
+    X_unnorm = task.unnormalize_x(data.X_test, data.config)
+    Y_true = task.unnormalize_y(data.Y_test, data.config)
+
+    pred = np.asarray(task.objective(
+        jnp.asarray(Y_dec, jnp.float32), jnp.asarray(X_unnorm, jnp.float32), data.config
+    ))
+    true = np.asarray(task.objective(
+        jnp.asarray(Y_true, jnp.float32), jnp.asarray(X_unnorm, jnp.float32), data.config
+    ))
+
+    ratio_name = "less_ratio" if task.higher_is_better else "exceeded_ratio"
+    metrics = {
+        ratio_name: float(pred.sum() / true.sum()),
+        "avg_diff": float((pred - true).mean()),
+        "n_samples": float(len(pred)),
+    }
+    if task.extra_metrics is not None:
+        metrics.update(task.extra_metrics(Y_dec, Y_true, pred, true, data.config))
+    return metrics

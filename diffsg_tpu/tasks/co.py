@@ -1,0 +1,69 @@
+"""CO task plugin: Computation Offloading (MEC resource allocation).
+
+Reference: ``ddpm_opt/classifier_free_CO.py`` (loader :158, decoder :281,
+cost :255, metrics :293-356, trainer :203-252).  Extra metrics: "terrible
+count" (pred/true > 1.2 and pred > 10, ``:344-345``) and offload-decision
+accuracy via binary class encoding (``:335-343``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..data.loaders import load_co
+from ..models.unet1d import unet_co
+from ..ops.decoders import co_decode
+from ..ops.objectives import co_cost
+from ..train.trainer import TrainConfig
+from .base import Task
+
+
+def _decode(Y_raw, config):
+    return co_decode(Y_raw)
+
+
+def _objective(Y_dec, X_unnorm, config):
+    return co_cost(X_unnorm, Y_dec)
+
+
+def _unnorm_x(X, config):
+    mn, mx = config["scaler_min"], config["scaler_max"]
+    return X * (mx - mn) + mn
+
+
+def _unnorm_y(Y, config):
+    return Y
+
+
+def decision_class(Y: np.ndarray, threshold: float = 0.1) -> np.ndarray:
+    """Binary-encode the offload decision vector (``classifier_free_CO.py:335-343``)."""
+    D = (Y > threshold).astype(int)
+    weights = 2 ** np.arange(Y.shape[1] - 1, -1, -1)
+    return D @ weights
+
+
+def _extra_metrics(Y_dec, Y_true, pred_cost, true_cost, config):
+    terrible = (pred_cost / true_cost > 1.2) & (pred_cost > 10.0)
+    acc = decision_class(Y_dec) == decision_class(Y_true)
+    return {
+        "terrible_count": float(terrible.sum()),
+        "decision_accuracy": float(acc.mean()),
+    }
+
+
+CO = Task(
+    name="co",
+    build_model=lambda cfg: unet_co(cfg["node_num"]),
+    load=load_co,
+    decode=_decode,
+    objective=_objective,
+    unnormalize_x=_unnorm_x,
+    unnormalize_y=_unnorm_y,
+    higher_is_better=False,
+    data_dim=lambda cfg: cfg["node_num"],
+    cond_dim=lambda cfg: 3 * cfg["node_num"],
+    # classifier_free_CO.py:204-230: 200 epochs, T=20, Adam 5e-3, [15,80,150]
+    train_config=TrainConfig(epochs=200, lr=5e-3, milestones=(15, 80, 150)),
+    default_omega=500.0,
+    extra_metrics=_extra_metrics,
+)

@@ -1,0 +1,56 @@
+"""NU task plugin: NOMA-UAV placement + power allocation.
+
+Reference: ``ddpm_opt/classifier_free_NU.py`` (loader :184, decoder :267,
+rate :279, metrics :306-361, trainer :213-242).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..data.loaders import load_nu
+from ..models.unet1d import unet_nu
+from ..ops.decoders import nu_decode
+from ..ops.objectives import nu_rate
+from ..train.trainer import TrainConfig
+from .base import Task
+
+
+def _decode(Y_raw, config):
+    return nu_decode(Y_raw, config["width"], config["height"], config["P_sum"])
+
+
+def _objective(Y_dec, X_unnorm, config):
+    return nu_rate(Y_dec, X_unnorm)
+
+
+def _unnorm_x(X, config):
+    X = np.array(X, dtype=float)
+    X[:, 0::2] *= config["width"]
+    X[:, 1::2] *= config["height"]
+    return X
+
+
+def _unnorm_y(Y, config):
+    Y = np.array(Y, dtype=float)
+    Y[:, 0] *= config["width"]
+    Y[:, 1] *= config["height"]
+    Y[:, 2:] *= config["P_sum"]
+    return Y
+
+
+NU = Task(
+    name="nu",
+    build_model=lambda cfg: unet_nu(cfg["K"]),
+    load=load_nu,
+    decode=_decode,
+    objective=_objective,
+    unnormalize_x=_unnorm_x,
+    unnormalize_y=_unnorm_y,
+    higher_is_better=True,
+    data_dim=lambda cfg: 2 + cfg["K"],
+    cond_dim=lambda cfg: 2 * cfg["K"],
+    # classifier_free_NU.py:214-242: 200 epochs, T=20, Adam 4e-3, [80,200]
+    train_config=TrainConfig(epochs=200, lr=4e-3, milestones=(80, 200)),
+    default_omega=500.0,
+)

@@ -1,0 +1,186 @@
+"""Jitted CFG-DDPM trainer.
+
+The reference train loops (``classifier_free_MSR.py:187-236`` and the CO/NU
+twins) are host-side Python: per-batch host->device transfer, eager torch
+ops, EMA gating flags.  Here the whole epoch is **one jitted program**: the
+dataset lives in device memory, each epoch draws a fresh permutation, and a
+``lax.scan`` runs `steps_per_epoch` fused train steps (forward + backward +
+Adam update + optional EMA blend) without returning to Python.  On TPU this
+keeps the MXU fed and removes per-batch dispatch entirely.
+
+Reference hyperparameters are the defaults (Adam lr 5e-3, MultiStepLR with
+gamma 0.1 at per-task milestones, batch 512, 200 epochs, uncond_prob 0.1,
+EMA decay 0.9999 / start 10 / update-rate 5 with use_ema=False).
+
+Deviation (documented): batches are drawn as `floor(N/B)` full batches per
+epoch from a fresh permutation — the reference's torch DataLoader also
+shuffles per epoch but keeps a smaller remainder batch.  Dropping the
+remainder keeps shapes static under jit; every sample still appears in
+expectation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..diffusion.ddpm import ddpm_loss
+from ..diffusion.schedule import Schedule, cosine_schedule
+from .ema import EmaState, ema_init, ema_update
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Per-task training hyperparameters (reference defaults).
+
+    milestones are epoch indices for the LR x0.1 drops:
+    MSR [100,150] (``classifier_free_MSR.py:214``), CO [15,80,150]
+    (``_CO.py:230``), NU [80,200] (``_NU.py:242``).
+    """
+
+    epochs: int = 200
+    batch_size: int = 512
+    lr: float = 5e-3
+    milestones: Sequence[int] = (100, 150)
+    lr_gamma: float = 0.1
+    T: int = 20
+    uncond_prob: float = 0.1
+    use_ema: bool = False
+    ema_decay: float = 0.9999
+    ema_start: int = 10
+    ema_update_rate: int = 5
+    warmup_epoch: int = 5
+    seed: int = 0
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ema: EmaState
+    step: jnp.ndarray  # global step counter (int32)
+
+
+def multistep_lr(base_lr: float, milestones: Sequence[int], steps_per_epoch: int,
+                 gamma: float = 0.1) -> optax.Schedule:
+    """torch MultiStepLR: multiply lr by gamma at each milestone epoch."""
+    boundaries = {int(m) * steps_per_epoch: gamma for m in milestones}
+    return optax.piecewise_constant_schedule(base_lr, boundaries)
+
+
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+    sched = multistep_lr(cfg.lr, cfg.milestones, steps_per_epoch, cfg.lr_gamma)
+    # torch Adam defaults: b1=0.9, b2=0.999, eps=1e-8 — optax matches.
+    return optax.adam(sched)
+
+
+def build_train_epoch(
+    apply_fn: Callable,
+    sched: Schedule,
+    optimizer: optax.GradientTransformation,
+    cfg: TrainConfig,
+    n_samples: int,
+) -> Callable:
+    """Returns a jitted ``epoch_fn(state, X, Y, key) -> (state, mean_loss)``.
+
+    X: (N, C) conditions, Y: (N, D) solutions — both resident device arrays.
+    """
+    B = cfg.batch_size
+    steps = max(n_samples // B, 1)
+
+    def train_step(state: TrainState, batch, key) -> Tuple[TrainState, jnp.ndarray]:
+        x, y = batch
+
+        def loss_fn(p):
+            return ddpm_loss(apply_fn, p, sched, y, x, key, cfg.uncond_prob)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        step = state.step + 1
+
+        if cfg.use_ema:
+            # reference gating: epoch > warmup, step_cnt > ema_start,
+            # step_cnt % ema_update_rate == 0 (classifier_free_MSR.py:227-229)
+            epoch_idx = state.step // steps
+            do_ema = jnp.logical_and(
+                epoch_idx > cfg.warmup_epoch,
+                jnp.logical_and(step > cfg.ema_start, step % cfg.ema_update_rate == 0),
+            )
+            new_ema = ema_update(state.ema, params, cfg.ema_decay)
+            ema = jax.tree.map(
+                lambda a, b: jnp.where(do_ema, a, b), new_ema, state.ema
+            )
+        else:
+            ema = state.ema
+        return TrainState(params, opt_state, ema, step), loss
+
+    @jax.jit
+    def epoch_fn(state: TrainState, X, Y, key):
+        k_perm, k_steps = jax.random.split(key)
+        perm = jax.random.permutation(k_perm, n_samples)[: steps * B]
+        Xs = X[perm].reshape(steps, B, -1)
+        Ys = Y[perm].reshape(steps, B, -1)
+        step_keys = jax.random.split(k_steps, steps)
+
+        def body(state, inp):
+            xb, yb, k = inp
+            return train_step(state, (xb, yb), k)
+
+        state, losses = jax.lax.scan(body, state, (Xs, Ys, step_keys))
+        return state, jnp.mean(losses)
+
+    return epoch_fn
+
+
+def train_ddpm(
+    model,
+    X_train: np.ndarray,
+    Y_train: np.ndarray,
+    cfg: TrainConfig,
+    init_params: Optional[Any] = None,
+    log_every: int = 10,
+    log_fn: Callable[[str], None] = print,
+) -> Tuple[Any, EmaState, Schedule]:
+    """Full training run for one task.  Returns (params, ema, schedule)."""
+    from .init import torch_style_init
+
+    sched = cosine_schedule(cfg.T)
+    key = jax.random.PRNGKey(cfg.seed)
+    k_init, k_reinit, key = jax.random.split(key, 3)
+
+    D, C = Y_train.shape[1], X_train.shape[1]
+    variables = model.init(
+        k_init, jnp.zeros((1, D)), jnp.zeros((1,)), jnp.zeros((1, C)), jnp.ones((1, 1))
+    )
+    params = init_params if init_params is not None else torch_style_init(
+        variables["params"], k_reinit
+    )
+
+    def apply_fn(p, y, t, c, m):
+        return model.apply({"params": p}, y, t, c, m)
+
+    n = X_train.shape[0]
+    steps_per_epoch = max(n // cfg.batch_size, 1)
+    optimizer = make_optimizer(cfg, steps_per_epoch)
+    state = TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        ema=ema_init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+    epoch_fn = build_train_epoch(apply_fn, sched, optimizer, cfg, n)
+
+    X = jnp.asarray(X_train, jnp.float32)
+    Y = jnp.asarray(Y_train, jnp.float32)
+    for epoch in range(cfg.epochs):
+        key, k = jax.random.split(key)
+        state, loss = epoch_fn(state, X, Y, k)
+        if log_every and (epoch % log_every == 0 or epoch == cfg.epochs - 1):
+            log_fn(f"epoch {epoch}: loss {float(loss):.6f}")
+    return state.params, state.ema, sched

@@ -1,0 +1,3 @@
+from .torch_import import ddpm_from_torch, unet_params_from_torch, load_torch_state_dict, sequential_mlp_from_torch
+from .checkpoint import save_checkpoint, load_checkpoint
+from .metrics import MetricsLogger, write_csv

@@ -1,0 +1,150 @@
+"""Baseline parity + behavior tests.
+
+Checkpoint parity targets are the BASELINE.md measured values for the
+shipped mtfnn_*/ppo_* checkpoints (deterministic: mean-action eval).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from diffsg_tpu.data import load_msr, load_nu, load_co
+from diffsg_tpu.ops import msr_sum_rate, nu_rate, co_cost, nu_decode
+from diffsg_tpu.baselines import (
+    mtfnn_msr_model, mtfnn_nu_model, mtfnn_co_model, load_mtfnn_ckpt,
+    PPOAgent, load_ppo_ckpt, ppo_predict,
+    msr_gd_solve, nu_gd_solve, co_gd_solve,
+)
+
+
+@pytest.fixture(scope="module")
+def msr_data(reference_path):
+    return load_msr(str(reference_path / "datasets" / "3c_10w_10000samples.csv"))
+
+
+@pytest.fixture(scope="module")
+def nu_data(reference_path):
+    return load_nu(str(reference_path / "datasets" / "3u_18mW_10000samples.csv"))
+
+
+def _msr_less_ratio(Y_pred, td):
+    mn, mx = td.config["scaler_min"], td.config["scaler_max"]
+    X = jnp.asarray(td.X_test * (mx - mn) + mn, jnp.float32)
+    pred = msr_sum_rate(jnp.asarray(Y_pred, jnp.float32), X)
+    true = msr_sum_rate(jnp.asarray(td.Y_test, jnp.float32), X)
+    return float(pred.sum() / true.sum())
+
+
+def _nu_less_ratio(Y_pred, td):
+    cfg = td.config
+    X = np.array(td.X_test)
+    X[:, 0::2] *= cfg["width"]
+    X[:, 1::2] *= cfg["height"]
+    Yt = np.array(td.Y_test)
+    Yt[:, 0] *= cfg["width"]
+    Yt[:, 1] *= cfg["height"]
+    Yt[:, 2:] *= cfg["P_sum"]
+    pred = nu_rate(jnp.asarray(Y_pred, jnp.float32), jnp.asarray(X, jnp.float32))
+    true = nu_rate(jnp.asarray(Yt, jnp.float32), jnp.asarray(X, jnp.float32))
+    return float(np.asarray(pred).sum() / np.asarray(true).sum())
+
+
+# --- MTFNN ckpt parity ---------------------------------------------------------
+
+
+def test_mtfnn_msr_ckpt_parity(reference_path, msr_data):
+    params = load_mtfnn_ckpt(str(reference_path / "ckpts" / "mtfnn_msr_3c.pt"), 4)
+    model = mtfnn_msr_model(3)
+    Y_pred = model.apply({"params": params}, jnp.asarray(msr_data.X_test, jnp.float32))
+    ratio = _msr_less_ratio(np.asarray(Y_pred) * msr_data.config["W"], msr_data)
+    assert abs(ratio - 0.99917) < 2e-3, ratio
+
+
+def test_mtfnn_nu_ckpt_parity(reference_path, nu_data):
+    params = load_mtfnn_ckpt(str(reference_path / "ckpts" / "mtfnn_nu.pt"), 5)
+    model = mtfnn_nu_model(3)
+    Y_pred = np.array(
+        model.apply({"params": params}, jnp.asarray(nu_data.X_test, jnp.float32))
+    )
+    cfg = nu_data.config
+    Y_pred[:, 0] *= cfg["width"]
+    Y_pred[:, 1] *= cfg["height"]
+    Y_pred[:, 2:] *= cfg["P_sum"]
+    ratio = _nu_less_ratio(Y_pred, nu_data)
+    assert abs(ratio - 0.93336) < 2e-3, ratio
+
+
+def test_mtfnn_co_ckpt_loads(reference_path):
+    params = load_mtfnn_ckpt(str(reference_path / "ckpts" / "mtfnn_co.pt"), 4)
+    model = mtfnn_co_model()
+    out = model.apply({"params": params}, jnp.zeros((4, 9)))
+    assert out.shape == (4, 3) and bool(jnp.all(jnp.isfinite(out)))
+
+
+# --- PPO ckpt parity ------------------------------------------------------------
+
+
+def test_ppo_msr_ckpt_parity(reference_path, msr_data):
+    params = load_ppo_ckpt(str(reference_path / "ckpts" / "ppo_msr_3c.pt"))
+    agent = PPOAgent(state_dim=3, action_dim=3)
+    W = msr_data.config["W"]
+    Y_pred = ppo_predict(agent, params, msr_data.X_test,
+                         lambda a: jax.nn.softmax(a, axis=1) * W)
+    ratio = _msr_less_ratio(np.asarray(Y_pred), msr_data)
+    assert abs(ratio - 0.99792) < 2e-3, ratio
+
+
+def test_ppo_nu_ckpt_parity(reference_path, nu_data):
+    params = load_ppo_ckpt(str(reference_path / "ckpts" / "ppo_nu.pt"))
+    agent = PPOAgent(state_dim=6, action_dim=5)
+    cfg = nu_data.config
+    Y_pred = ppo_predict(
+        agent, params, nu_data.X_test,
+        lambda a: nu_decode(a, cfg["width"], cfg["height"], cfg["P_sum"]),
+    )
+    ratio = _nu_less_ratio(np.asarray(Y_pred), nu_data)
+    assert abs(ratio - 0.56615) < 2e-2, ratio
+
+
+# --- GD behavior -----------------------------------------------------------------
+
+
+def test_msr_gd(msr_data):
+    td = msr_data
+    mn, mx = td.config["scaler_min"], td.config["scaler_max"]
+    g = jnp.asarray(td.X_test[:512] * (mx - mn) + mn, jnp.float32)
+    p = msr_gd_solve(g, W=td.config["W"])
+    np.testing.assert_allclose(np.asarray(p).sum(1), td.config["W"], rtol=1e-4)
+    pred = msr_sum_rate(p, g)
+    true = msr_sum_rate(jnp.asarray(td.Y_test[:512], jnp.float32), g)
+    ratio = float(pred.sum() / true.sum())
+    assert 0.8 < ratio < 1.2, ratio
+
+
+def test_nu_gd(nu_data):
+    td = nu_data
+    cfg = td.config
+    X = np.array(td.X_test[:512])
+    X[:, 0::2] *= cfg["width"]
+    X[:, 1::2] *= cfg["height"]
+    sol = nu_gd_solve(jnp.asarray(X, jnp.float32), P_sum=cfg["P_sum"])
+    np.testing.assert_allclose(np.asarray(sol)[:, 2:].sum(1), cfg["P_sum"], rtol=1e-4)
+    Yt = np.array(td.Y_test[:512])
+    Yt[:, 0] *= cfg["width"]
+    Yt[:, 1] *= cfg["height"]
+    Yt[:, 2:] *= cfg["P_sum"]
+    pred = np.asarray(nu_rate(jnp.asarray(sol, jnp.float32), jnp.asarray(X, jnp.float32)))
+    true = np.asarray(nu_rate(jnp.asarray(Yt, jnp.float32), jnp.asarray(X, jnp.float32)))
+    ratio = pred.sum() / true.sum()
+    assert np.isfinite(ratio), ratio
+
+
+def test_co_gd(reference_path):
+    td = load_co(str(reference_path / "datasets" / "3nodes_2000samples_ood.csv"))
+    mn, mx = td.config["scaler_min"], td.config["scaler_max"]
+    X = jnp.asarray(td.X_test * (mx - mn) + mn, jnp.float32)
+    shares = co_gd_solve(X)
+    assert shares.shape == (td.X_test.shape[0], 3)
+    cost = co_cost(X, shares)
+    assert bool(jnp.all(jnp.isfinite(cost)))

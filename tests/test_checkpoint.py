@@ -1,0 +1,41 @@
+"""Checkpoint round-trip tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffsg_tpu.utils import save_checkpoint, load_checkpoint
+from diffsg_tpu.train import ema_init, ema_update
+from diffsg_tpu.diffusion import cosine_schedule
+
+
+def test_roundtrip(tmp_path):
+    params = {"dense": {"kernel": jnp.arange(6.0).reshape(2, 3), "bias": jnp.ones(3)}}
+    ema = ema_update(ema_init(params), params, 0.999)
+    sched = cosine_schedule(20)
+    save_checkpoint(str(tmp_path / "ck"), params, ema=ema, step=42, sched=sched,
+                    metadata={"task": "msr"})
+    ck = load_checkpoint(str(tmp_path / "ck"))
+    np.testing.assert_allclose(ck["params"]["dense"]["kernel"],
+                               np.arange(6).reshape(2, 3))
+    assert ck["step"] == 42
+    assert int(ck["ema"].n_averaged) == 1
+    np.testing.assert_allclose(np.asarray(ck["sched"].betas),
+                               np.asarray(sched.betas), rtol=1e-7)
+    assert ck["metadata"]["task"] == "msr"
+
+
+def test_roundtrip_through_training_state(tmp_path):
+    """Params trained a step, saved, reloaded -> identical apply output."""
+    from diffsg_tpu.models.unet1d import UNet1D
+
+    model = UNet1D(input_dim=3, proj_dim=16, cond_dim=3, dims=(8, 4),
+                   is_attn=(False, False), middle_attn=False, n_blocks=1)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)), jnp.zeros((1,)),
+                   jnp.zeros((1, 3)), jnp.ones((1, 1)))
+    save_checkpoint(str(tmp_path / "ck"), v["params"])
+    ck = load_checkpoint(str(tmp_path / "ck"))
+    x = jnp.ones((4, 3))
+    out1 = model.apply({"params": v["params"]}, x, jnp.ones((4,)), x, jnp.ones((4, 1)))
+    out2 = model.apply({"params": ck["params"]}, x, jnp.ones((4,)), x, jnp.ones((4, 1)))
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
