@@ -188,3 +188,10 @@ save(
 )
 
 print("all fixtures written to", OUT)
+
+# --- generator internals: alpha_calc golden values -------------------------------
+from utils.dataset_generate import alpha_calc as ref_alpha_calc  # noqa: E402
+
+grads = rng.normal(0, 1, (32, 5))
+grads[3, 2] = 0.9  # exercise pivot paths
+save("alpha_calc.npz", grads=grads, alpha=ref_alpha_calc(grads.copy()))

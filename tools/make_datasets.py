@@ -1,0 +1,98 @@
+"""Regenerate the DiffSG datasets (including the reference's missing blobs).
+
+The reference repo's large dataset blobs are absent
+(``.MISSING_LARGE_BLOBS``): ``3nodes_50000samples_new.csv`` (CO train) and
+``80c_20w_10000samples.csv`` / ``80c_40w_2000samples_ood.csv`` (MSR-80c).
+This CLI regenerates them — plus any other config — with the framework's
+vectorized/native oracles, in the exact shipped CSV layouts.
+
+Usage:
+  python tools/make_datasets.py co   --samples 50000 --out datasets/3nodes_50000samples_new.csv
+  python tools/make_datasets.py msr  --samples 10000 --channels 80 --power 20 \
+      --out datasets/80c_20w_10000samples.csv
+  python tools/make_datasets.py nu   --samples 1000 --power 18 --out datasets/3u_18mW_1000samples.csv
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="task", required=True)
+
+    co = sub.add_parser("co")
+    co.add_argument("--samples", type=int, default=50000)
+    co.add_argument("--nodes", type=int, default=3)
+    co.add_argument("--step", type=float, default=0.02)
+    co.add_argument("--seed", type=int, default=0)
+    co.add_argument("--out", required=True)
+
+    msr = sub.add_parser("msr")
+    msr.add_argument("--samples", type=int, default=10000)
+    msr.add_argument("--channels", type=int, default=3)
+    msr.add_argument("--power", type=float, default=10.0)
+    msr.add_argument("--gmin", type=float, default=0.5)
+    msr.add_argument("--gmax", type=float, default=2.5)
+    msr.add_argument("--seed", type=int, default=0)
+    msr.add_argument("--out", required=True)
+
+    nu = sub.add_parser("nu")
+    nu.add_argument("--samples", type=int, default=1000)
+    nu.add_argument("--power", type=float, default=18.0)
+    nu.add_argument("--grid-step", type=float, default=1.0)
+    nu.add_argument("--seed", type=int, default=0)
+    nu.add_argument("--native", action="store_true", default=True)
+    nu.add_argument("--no-native", dest="native", action="store_false")
+    nu.add_argument("--legacy-sinr", action="store_true")
+    nu.add_argument("--out", required=True)
+
+    args = ap.parse_args()
+    out = pathlib.Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    t0 = time.time()
+
+    if args.task == "co":
+        from diffsg_tpu.data.generators import co_minlp_gen
+
+        data, ms = co_minlp_gen(args.samples, args.nodes, args.step, args.seed,
+                                log_timing=True)
+        np.savetxt(out, data, delimiter=",")
+
+    elif args.task == "msr":
+        from diffsg_tpu.data.generators import sum_rate_gen, write_msr_csv
+
+        gs, rates, schemes = sum_rate_gen(
+            args.samples, args.channels, (args.gmin, args.gmax), args.power,
+            args.seed)
+        write_msr_csv(str(out), gs, rates, schemes)
+
+    elif args.task == "nu":
+        from diffsg_tpu.data.generators import nu_coordinates_gen, noma_uav_gen
+
+        if args.native:
+            from diffsg_tpu.data.native import nu_oracle_native
+
+            rng = np.random.default_rng(args.seed)
+            qs = nu_coordinates_gen(rng, args.samples)
+            sol = nu_oracle_native(qs, P_sum=args.power,
+                                   grid_step=args.grid_step,
+                                   legacy_sinr=args.legacy_sinr)
+            data = np.concatenate([qs, sol], axis=1)
+        else:
+            data = noma_uav_gen(args.samples, args.power, args.seed,
+                                grid_step=int(args.grid_step),
+                                legacy_sinr=args.legacy_sinr)
+        np.savetxt(out, data, delimiter=",")
+
+    print(f"wrote {out} ({args.samples} samples) in {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
