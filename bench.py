@@ -27,6 +27,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     from diffsg_tpu.models import unet_msr
     from diffsg_tpu.diffusion import cfg_sample, cosine_schedule
     from diffsg_tpu.train import torch_style_init

@@ -158,6 +158,81 @@ def co_minlp_gen(
     return np.concatenate(rows), ms_per_sample
 
 
+def co_minlp_gen_7feature(
+    sample_num: int,
+    node_num: int = 3,
+    step: float = 0.05,
+    seed: int = 0,
+    batch: int = 256,
+):
+    """The older 7-feature CO oracle (``dataset_generate.py:50-145``).
+
+    Differences from the CONV variant: F_t=7.5e9, per-node download size w
+    and tolerable delay theta, down-link costs, 'part' allocations
+    (sum <= 1) at step 0.05, decision ids 0..2^N-2 (all-local excluded),
+    and the tolerable-delay overwrite active.  Returns (X (n, 7N+6),
+    Y (n, 2N+1) = [D, F, cost]) in the reference's output layout.
+    """
+    rng = np.random.default_rng(seed)
+    F_t, B = 7.5e9, 10e5
+
+    # candidates: decisions 0..2^N-2 (the reference iterates np.arange(2^N-1),
+    # i.e. never the all-offload id 2^N-1... note: id bits map node j to bit j)
+    Ds, Fs = [], []
+    for did in range(2 ** node_num - 1):
+        D = np.array([(did >> j) & 1 for j in range(node_num)], dtype=int)
+        grid = resource_allocation_grid(D, "part", step) if did else np.zeros((1, node_num))
+        F = np.where(D > 0, grid, 0.1)
+        Ds.append(np.tile(D, (grid.shape[0], 1)))
+        Fs.append(F)
+    D_all, F_all = np.concatenate(Ds), np.concatenate(Fs)
+
+    X_rows, Y_rows = [], []
+    for start in range(0, sample_num, batch):
+        Bn = min(batch, sample_num - start)
+        s = range_random(rng, 1e5, 4e4, (Bn, node_num), 1e4, 2.5e5).astype(int).astype(float)
+        c = s * 3e3
+        w = range_random(rng, 1e5, 4e4, (Bn, node_num), 1e4, 2.5e5).astype(int).astype(float)
+        theta = range_random(rng, 0.8, 0.15, (Bn, node_num), 0.01, 1.0)
+        f_local = range_random(rng, 8e8, 4e8, (Bn, node_num), 0, 1.5e9).astype(int).astype(float)
+        alpha = rng.random((Bn, node_num))
+        beta = 1 - alpha
+        h = rng.random((Bn, node_num))
+
+        sinr = CO_P_T * h**2 / (CO_N0 + np.sum(CO_P_T * h**2, axis=1, keepdims=True))
+        r_u = B * np.log2(1 + sinr)
+        cost_local = alpha * (c / f_local) + beta * (CO_KAPPA * f_local**2 * c)
+
+        exec_term = c[:, None, :] / (F_t * F_all[None])
+        updown = (s + w)[:, None, :] / r_u[:, None, :]
+        cost_off = (alpha[:, None, :] * (updown + exec_term)
+                    + beta[:, None, :] * (CO_P_T * updown + CO_P_I * exec_term))
+        total = np.sum((1 - D_all)[None] * cost_local[:, None, :]
+                       + D_all[None] * cost_off, axis=2)
+        delays = np.where(D_all[None] > 0, updown - w[:, None, :] / r_u[:, None, :]
+                          + exec_term, (c / f_local)[:, None, :])
+        sat = np.all(delays < theta[:, None, :], axis=2)
+
+        best = np.argmin(total, axis=1)
+        has_tol = sat.any(axis=1)
+        last_tol = sat.shape[1] - 1 - np.argmax(sat[:, ::-1], axis=1)
+        pick = np.where(has_tol, last_tol, best)
+
+        F_pick = np.where(D_all[pick] > 0, F_all[pick], 0.0)
+        cost_pick = total[np.arange(Bn), pick]
+
+        X = np.zeros((Bn, 7 * node_num + 6))
+        for n in range(node_num):
+            X[:, 7 * n : 7 * n + 7] = np.stack(
+                [s[:, n], c[:, n], w[:, n], theta[:, n], f_local[:, n],
+                 h[:, n], alpha[:, n]], axis=1)
+        X[:, -6:] = [F_t, CO_KAPPA, CO_P_T, CO_P_I, B, CO_N0]
+        X_rows.append(X)
+        Y_rows.append(np.concatenate(
+            [D_all[pick].astype(float), F_pick, cost_pick[:, None]], axis=1))
+    return np.concatenate(X_rows), np.concatenate(Y_rows)
+
+
 # --- MSR: LRH gradient-descent label generator ----------------------------------
 
 

@@ -136,6 +136,7 @@ def cfg_sample(
     step_noise: Optional[jnp.ndarray] = None,
     renorm_steps: int = 4,
     record_trace: bool = False,
+    compute_dtype: Optional[jnp.dtype] = None,
 ) -> Tuple[jnp.ndarray, Optional[SampleTrace]]:
     """Batched CFG reverse sampler as a single ``lax.scan``.
 
@@ -152,6 +153,9 @@ def cfg_sample(
         matching the reference (``:129-130``).
       renorm_steps: number of initial steps with batch re-standardization.
       record_trace: capture the per-step trajectory (scan-carried on device).
+      compute_dtype: optional lower-precision dtype (e.g. bfloat16) for the
+        denoiser forward; the CFG combine and the posterior update stay f32.
+        Pass params already cast to the same dtype for full effect.
 
     Returns ``(y_0, trace_or_None)``.
     """
@@ -178,9 +182,19 @@ def cfg_sample(
 
     def step(y_t, inp):
         i, z = inp
-        t_norm = jnp.full((2 * B,), i, dtype=dtype) / T
+        # t is constant across the batch within a step: evaluate the time
+        # MLP (the widest matmuls in the net) at batch 1 and let the
+        # per-block additions broadcast.  Numerically identical to a full-
+        # batch t, but removes ~40% of the per-step FLOPs.
+        t_norm = jnp.full((1,), i, dtype=dtype) / T
         y2 = jnp.concatenate([y_t, y_t], axis=0)
-        eps2 = apply_fn(params, y2, t_norm, cond2, mask2)
+        if compute_dtype is not None:
+            eps2 = apply_fn(params, y2.astype(compute_dtype),
+                            t_norm.astype(compute_dtype),
+                            cond2.astype(compute_dtype),
+                            mask2.astype(compute_dtype)).astype(dtype)
+        else:
+            eps2 = apply_fn(params, y2, t_norm, cond2, mask2)
         eps_uncond, eps_cond = eps2[:B], eps2[B:]
         eps_cfg = (1.0 + omega) * eps_cond - omega * eps_uncond
         z = jnp.where(i > 1, z, jnp.zeros_like(z))

@@ -1,0 +1,155 @@
+"""Gap-reporting harness: DDPM vs baselines, OOD sweep, guidance-scale grid.
+
+Produces the comparison table the reference scatters across its __main__
+blocks (BASELINE.json configs: "OOD sweep: 20w/30mW/40w OOD splits,
+guidance-scale grid + GD/MTFNN/PPO baseline gap eval").
+
+Usage examples:
+  python tools/report.py --task nu --ckpt ckpts/ddpm_nu \
+      --datasets /root/reference/datasets/3u_18mW_10000samples.csv \
+                 /root/reference/datasets/3u_30mW_1000samples_ood.csv \
+      --omegas 100 500 1000 --baselines gd \
+      --mtfnn-ckpt /root/reference/ckpts/mtfnn_nu.pt \
+      --ppo-ckpt /root/reference/ckpts/ppo_nu.pt \
+      --out results/nu_report.jsonl
+"""
+
+import argparse
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def baseline_metrics(task_name, data, Y_pred, task):
+    import jax.numpy as jnp
+
+    X_unnorm = task.unnormalize_x(data.X_test, data.config)
+    Y_true = task.unnormalize_y(data.Y_test, data.config)
+    pred = np.asarray(task.objective(jnp.asarray(Y_pred, jnp.float32),
+                                     jnp.asarray(X_unnorm, jnp.float32), data.config))
+    true = np.asarray(task.objective(jnp.asarray(Y_true, jnp.float32),
+                                     jnp.asarray(X_unnorm, jnp.float32), data.config))
+    name = "less_ratio" if task.higher_is_better else "exceeded_ratio"
+    return {name: float(pred.sum() / true.sum()),
+            "avg_diff": float((pred - true).mean())}
+
+
+def run_gd(task_name, data, task):
+    import jax.numpy as jnp
+    from diffsg_tpu.baselines import co_gd_solve, msr_gd_solve, nu_gd_solve
+
+    X_unnorm = task.unnormalize_x(data.X_test, data.config)
+    X = jnp.asarray(X_unnorm, jnp.float32)
+    if task_name == "msr":
+        return np.asarray(msr_gd_solve(X, W=data.config["W"]))
+    if task_name == "co":
+        return np.asarray(co_gd_solve(X, node_num=data.config["node_num"]))
+    return np.asarray(nu_gd_solve(X, P_sum=data.config["P_sum"]))
+
+
+def run_mtfnn(task_name, data, task, ckpt):
+    import jax.numpy as jnp
+    from diffsg_tpu.baselines import (
+        load_mtfnn_ckpt, mtfnn_co_model, mtfnn_msr_model, mtfnn_nu_model)
+
+    X = jnp.asarray(data.X_test, jnp.float32)
+    cfg = data.config
+    if task_name == "msr":
+        model = mtfnn_msr_model(cfg["M"])
+        params = load_mtfnn_ckpt(ckpt, 4)
+        return np.asarray(model.apply({"params": params}, X)) * cfg["W"]
+    if task_name == "co":
+        model = mtfnn_co_model()
+        params = load_mtfnn_ckpt(ckpt, 4)
+        return np.asarray(model.apply({"params": params}, X))
+    model = mtfnn_nu_model(cfg["K"])
+    params = load_mtfnn_ckpt(ckpt, 5)
+    Y = np.array(model.apply({"params": params}, X))
+    Y[:, 0] *= cfg["width"]
+    Y[:, 1] *= cfg["height"]
+    Y[:, 2:] *= cfg["P_sum"]
+    return Y
+
+
+def run_ppo(task_name, data, task, ckpt):
+    import jax
+    from diffsg_tpu.baselines import PPOAgent, load_ppo_ckpt, ppo_predict
+    from diffsg_tpu.ops import nu_decode
+
+    cfg = data.config
+    params = load_ppo_ckpt(ckpt)
+    if task_name == "msr":
+        agent = PPOAgent(cfg["M"], cfg["M"])
+        return np.asarray(ppo_predict(
+            agent, params, data.X_test,
+            lambda a: jax.nn.softmax(a, axis=1) * cfg["W"]))
+    if task_name == "co":
+        agent = PPOAgent(3 * cfg["node_num"], cfg["node_num"])
+        return np.asarray(ppo_predict(
+            agent, params, data.X_test, lambda a: jax.nn.softmax(a, axis=1)))
+    agent = PPOAgent(2 * cfg["K"], 2 + cfg["K"])
+    return np.asarray(ppo_predict(
+        agent, params, data.X_test,
+        lambda a: nu_decode(a, cfg["width"], cfg["height"], cfg["P_sum"])))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", choices=["msr", "co", "nu"], required=True)
+    ap.add_argument("--datasets", nargs="+", required=True)
+    ap.add_argument("--ckpt", default=None, help="DDPM checkpoint dir")
+    ap.add_argument("--omegas", type=float, nargs="+", default=[500.0])
+    ap.add_argument("--baselines", nargs="*", default=[],
+                    choices=["gd", "mtfnn", "ppo"])
+    ap.add_argument("--mtfnn-ckpt", default=None)
+    ap.add_argument("--ppo-ckpt", default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from diffsg_tpu.tasks import TASKS, evaluate
+    from diffsg_tpu.utils import MetricsLogger, load_checkpoint
+
+    task = TASKS[args.task]
+    log = MetricsLogger(args.out)
+
+    for name, ckpt_arg in (("mtfnn", args.mtfnn_ckpt), ("ppo", args.ppo_ckpt)):
+        if name in args.baselines and not ckpt_arg:
+            sys.exit(f"error: --baselines {name} requires --{name}-ckpt")
+
+    ck = load_checkpoint(args.ckpt) if args.ckpt else None
+    for ds in args.datasets:
+        data = task.load(ds)
+        if ck is not None:
+            for omega in args.omegas:
+                m = evaluate(task, ck["params"], ck["sched"], data,
+                             omega=omega, seed=args.seed)
+                log.log({"solver": "ddpm", "task": args.task, "dataset": ds,
+                         "omega": omega, **m})
+        if "gd" in args.baselines:
+            log.log({"solver": "gd", "task": args.task, "dataset": ds,
+                     **baseline_metrics(args.task, data,
+                                        run_gd(args.task, data, task), task)})
+        if "mtfnn" in args.baselines and args.mtfnn_ckpt:
+            log.log({"solver": "mtfnn", "task": args.task, "dataset": ds,
+                     **baseline_metrics(args.task, data,
+                                        run_mtfnn(args.task, data, task,
+                                                  args.mtfnn_ckpt), task)})
+        if "ppo" in args.baselines and args.ppo_ckpt:
+            log.log({"solver": "ppo", "task": args.task, "dataset": ds,
+                     **baseline_metrics(args.task, data,
+                                        run_ppo(args.task, data, task,
+                                                args.ppo_ckpt), task)})
+
+
+if __name__ == "__main__":
+    main()

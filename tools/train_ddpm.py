@@ -1,0 +1,82 @@
+"""Train a CFG-DDPM for one task and evaluate it (reference train entries:
+``train_ddpm_{msr,co,nu}`` + ``load_test_*``).
+
+Usage:
+  python tools/train_ddpm.py --task msr --dataset /root/reference/datasets/3c_10w_10000samples.csv \
+      --out ckpts/ddpm_msr_3c --epochs 200
+  python tools/train_ddpm.py --task co --dataset datasets/3nodes_50000samples_new.csv --out ckpts/ddpm_co
+  python tools/train_ddpm.py --task nu --dataset /root/reference/datasets/3u_18mW_10000samples.csv --out ckpts/ddpm_nu
+"""
+
+import argparse
+import dataclasses
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", choices=["msr", "co", "nu"], required=True)
+    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--omega", type=float, default=None)
+    ap.add_argument("--use-ema", action="store_true")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--eval-only", default=None, help="load ckpt dir and eval")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from diffsg_tpu.tasks import TASKS, evaluate
+    from diffsg_tpu.train import train_ddpm
+    from diffsg_tpu.utils import save_checkpoint, load_checkpoint, MetricsLogger
+
+    task = TASKS[args.task]
+    data = task.load(args.dataset)
+    model = task.build_model(data.config)
+    log = MetricsLogger(pathlib.Path(args.out) / "train_log.jsonl"
+                        if not args.eval_only else None)
+
+    cfg = task.train_config
+    overrides = {k: v for k, v in
+                 [("epochs", args.epochs), ("lr", args.lr), ("seed", args.seed),
+                  ("use_ema", args.use_ema or None)] if v is not None}
+    cfg = dataclasses.replace(cfg, **overrides)
+
+    if args.eval_only:
+        ck = load_checkpoint(args.eval_only)
+        params, sched = ck["params"], ck["sched"]
+    else:
+        print(f"training {args.task} on {args.dataset} "
+              f"({data.X_train.shape[0]} samples, device {jax.devices()[0]})")
+        t0 = time.time()
+        params, ema, sched = train_ddpm(
+            model, data.X_train, data.Y_train, cfg,
+            log_fn=lambda s: log.log({"event": "train", "msg": s}),
+            log_every=10,
+        )
+        train_s = time.time() - t0
+        save_checkpoint(args.out, params, ema=ema, sched=sched,
+                        step=cfg.epochs,
+                        metadata={"task": args.task, "dataset": args.dataset,
+                                  "config": dataclasses.asdict(cfg),
+                                  "train_seconds": train_s})
+        log.log({"event": "saved", "out": args.out, "train_seconds": train_s})
+
+    metrics = evaluate(task, params, sched, data, omega=args.omega)
+    print(json.dumps({"task": args.task, "dataset": args.dataset, **metrics}))
+
+
+if __name__ == "__main__":
+    main()
