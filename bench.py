@@ -34,6 +34,8 @@ def main():
     from diffsg_tpu.diffusion import cfg_sample, cosine_schedule
     from diffsg_tpu.train import torch_style_init
 
+    from diffsg_tpu.models.unet1d_pallas import unet_apply_fn
+
     model = unet_msr(3)
     key = jax.random.PRNGKey(0)
     variables = model.init(key, jnp.zeros((1, 3)), jnp.zeros((1,)),
@@ -41,36 +43,47 @@ def main():
     params = torch_style_init(variables["params"], key)
     sched = cosine_schedule(T)
 
-    def apply_fn(p, y, t, c, m):
-        return model.apply({"params": p}, y, t, c, m)
+    def measure(backend, B, block_rows=1024):
+        kw = {"block_rows": block_rows} if backend == "pallas" else {}
+        apply_fn = unet_apply_fn(model, backend=backend, **kw)
 
-    @jax.jit
-    def run(cond, k):
-        y0, _ = cfg_sample(apply_fn, params, sched, cond, OMEGA, 3, key=k)
-        return y0
+        @jax.jit
+        def run(cond, k):
+            y0, _ = cfg_sample(apply_fn, params, sched, cond, OMEGA, 3, key=k)
+            return y0
 
-    best = 0.0
-    best_B = 0
-    rng = np.random.default_rng(0)
-    for B in (2048, 8192, 32768):
+        rng = np.random.default_rng(0)
         cond = jnp.asarray(rng.uniform(0, 1, (B, 3)), jnp.float32)
-        k = jax.random.PRNGKey(1)
-        run(cond, k).block_until_ready()  # compile + warmup
+        run(cond, jax.random.PRNGKey(1)).block_until_ready()  # compile+warmup
         iters = 3
         t0 = time.perf_counter()
         for i in range(iters):
             run(cond, jax.random.PRNGKey(2 + i)).block_until_ready()
-        dt = (time.perf_counter() - t0) / iters
-        sps = B / dt
-        if sps > best:
-            best, best_B = sps, B
+        return B / ((time.perf_counter() - t0) / iters)
 
+    results = {}
+    for backend in ("xla", "pallas"):
+        best = 0.0
+        for B in (8192, 32768):
+            try:
+                sps = measure(backend, B)
+            except Exception:
+                continue
+            if sps > best:
+                best, best_B = sps, B
+        if best > 0:
+            results[backend] = (best, best_B)
+
+    backend = max(results, key=lambda b: results[b][0])
+    best, best_B = results[backend]
     print(json.dumps({
         "metric": f"msr3c_solutions_per_sec_chip_T{T}",
         "value": round(best, 1),
         "unit": "solutions/s",
         "vs_baseline": round(best / TARGET_SOLUTIONS_PER_SEC, 3),
         "batch_size": best_B,
+        "backend": backend,
+        "all_backends": {b: round(v[0], 1) for b, v in results.items()},
         "omega": OMEGA,
         "device": str(jax.devices()[0]),
     }))

@@ -1,0 +1,129 @@
+"""Pallas-backed UNet1D forward.
+
+Runs the same parameter tree as :class:`models.unet1d.UNet1D` but executes
+every ResidualBlock as one fused Pallas kernel
+(:func:`ops.pallas_kernels.fused_residual_block`).  The tiny glue ops
+(feature projection, resamples, skip concats, final head) and the time /
+cond projection vectors stay in plain XLA — they are the cheap parts.
+
+Numerically identical to the flax forward (f32): validated in
+tests/test_pallas.py both in interpreter mode and against the NU reference
+checkpoint.
+
+Use ``unet_apply_fn(model, backend="pallas")`` to get a drop-in ``apply_fn``
+for the sampler/trainer.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .unet1d import UNet1D, swish
+from ..ops.pallas_kernels import fused_residual_block, resblock_params_tuple
+
+
+def unet_topology(dims: Sequence[int], n_blocks: int) -> Tuple[List[str], List[str]]:
+    """Down/up module-kind lists, index-aligned with UNet1D's module names."""
+    n_res = len(dims)
+    down, up = [], []
+    for i in range(n_res):
+        down += ["block"] * n_blocks + ["resample"]
+        if i == n_res - 1:
+            down += ["block"] * n_blocks
+    for i in reversed(range(n_res)):
+        up += ["block"] * (n_blocks + 1) + ["resample"]
+        if i == 0:
+            up += ["block"] * (n_blocks + 1)
+    return down, up
+
+
+def _time_features(params: Dict, t: jnp.ndarray, time_dim: int) -> jnp.ndarray:
+    half = time_dim // 8
+    freq = jnp.exp(jnp.arange(half, dtype=t.dtype)
+                   * -(math.log(10_000) / (half - 1)))
+    emb = t[:, None] * freq[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    emb = swish(emb @ params["lin1"]["kernel"] + params["lin1"]["bias"])
+    return emb @ params["lin2"]["kernel"] + params["lin2"]["bias"]
+
+
+def _dense(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    return x @ p["kernel"] + p["bias"]
+
+
+def _ln(p: Dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def unet_forward_pallas(
+    params: Dict[str, Any],
+    model: UNet1D,
+    y: jnp.ndarray,
+    t: jnp.ndarray,
+    cond: jnp.ndarray,
+    cond_mask: jnp.ndarray,
+    block_rows: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full UNet1D forward with fused-Pallas residual blocks."""
+    down_kinds, up_kinds = unet_topology(model.dims, model.n_blocks)
+
+    t_emb = _time_features(params["time_emb"], t, model.proj_dim * 4)
+    st = swish(t_emb)            # shared across blocks; (Bt, 4*proj)
+    cond = cond * cond_mask
+    sc = swish(cond)             # (B, cond_dim)
+
+    def run_block(pblk: Dict, x: jnp.ndarray) -> jnp.ndarray:
+        res = pblk["res"]
+        t_proj = _dense(res["time_emb"], st)
+        c_proj = _dense(res["cond_emb"], sc)
+        return fused_residual_block(
+            x, t_proj, c_proj, *resblock_params_tuple(res),
+            block_rows=block_rows, interpret=interpret,
+        )
+
+    x = _dense(params["feature_proj"], y)
+    h = [x]
+    for i, kind in enumerate(down_kinds):
+        p = params[f"down_{i}"]
+        x = run_block(p, x) if kind == "block" else _dense(p["lin"], x)
+        h.append(x)
+
+    # middle: two fused blocks
+    for name in ("res1", "res2"):
+        res = params["middle"][name]
+        t_proj = _dense(res["time_emb"], st)
+        c_proj = _dense(res["cond_emb"], sc)
+        x = fused_residual_block(
+            x, t_proj, c_proj, *resblock_params_tuple(res),
+            block_rows=block_rows, interpret=interpret,
+        )
+
+    for i, kind in enumerate(up_kinds):
+        p = params[f"up_{i}"]
+        if kind == "resample":
+            x = _dense(p["lin"], x)
+        else:
+            s = h.pop()
+            x = run_block(p, jnp.concatenate([x, s], axis=1))
+
+    return _dense(params["final"], swish(_ln(params["norm"], x)))
+
+
+def unet_apply_fn(model: UNet1D, backend: str = "xla", **pallas_kw):
+    """apply_fn(params, y, t, cond, mask) for the sampler/trainer.
+
+    backend: "xla" (flax apply) or "pallas" (fused kernels, TPU).
+    """
+    if backend == "xla":
+        return lambda p, y, t, c, m: model.apply({"params": p}, y, t, c, m)
+    if backend == "pallas":
+        return lambda p, y, t, c, m: unet_forward_pallas(
+            p, model, y, t, c, m, **pallas_kw)
+    raise ValueError(f"unknown backend {backend!r}")

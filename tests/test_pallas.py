@@ -1,0 +1,86 @@
+"""Pallas fused-kernel correctness (interpreter mode on CPU; the TPU path
+is exercised by bench.py and the sampler integration)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from diffsg_tpu.models.unet1d import ResidualBlock, swish, unet_nu
+from diffsg_tpu.models.unet1d_pallas import (
+    unet_forward_pallas, unet_topology, unet_apply_fn,
+)
+from diffsg_tpu.ops.pallas_kernels import fused_residual_block, resblock_params_tuple
+
+
+@pytest.fixture(scope="module")
+def block_setup():
+    rng = np.random.default_rng(0)
+    B, din, dout, tdim, cdim = 64, 128, 128, 512, 9
+    blk = ResidualBlock(din, dout)
+    x = jnp.asarray(rng.normal(0, 1, (B, din)), jnp.float32)
+    t = jnp.asarray(rng.normal(0, 1, (B, tdim)), jnp.float32)
+    c = jnp.asarray(rng.normal(0, 1, (B, cdim)), jnp.float32)
+    v = blk.init(jax.random.PRNGKey(0), x, t, c)
+    return blk, v, x, t, c
+
+
+def _projections(p, t, c):
+    t_proj = swish(t) @ p["time_emb"]["kernel"] + p["time_emb"]["bias"]
+    c_proj = swish(c) @ p["cond_emb"]["kernel"] + p["cond_emb"]["bias"]
+    return t_proj, c_proj
+
+
+def test_fused_resblock_matches_flax(block_setup):
+    blk, v, x, t, c = block_setup
+    ref = blk.apply(v, x, t, c)
+    t_proj, c_proj = _projections(v["params"], t, c)
+    out = fused_residual_block(x, t_proj, c_proj,
+                               *resblock_params_tuple(v["params"]),
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_fused_resblock_shortcut():
+    rng = np.random.default_rng(1)
+    blk = ResidualBlock(256, 128)
+    x = jnp.asarray(rng.normal(0, 1, (32, 256)), jnp.float32)
+    t = jnp.asarray(rng.normal(0, 1, (32, 512)), jnp.float32)
+    c = jnp.asarray(rng.normal(0, 1, (32, 9)), jnp.float32)
+    v = blk.init(jax.random.PRNGKey(1), x, t, c)
+    ref = blk.apply(v, x, t, c)
+    t_proj, c_proj = _projections(v["params"], t, c)
+    out = fused_residual_block(x, t_proj, c_proj,
+                               *resblock_params_tuple(v["params"]),
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_unet_topology_counts():
+    # NU config: down = 2+1+2+1+2+1+2 = 11 modules, up = 3+1 x3 + 3 = 15
+    down, up = unet_topology((32, 16, 8), 2)
+    assert len(down) == 11 and down.count("resample") == 3
+    assert len(up) == 15 and up.count("resample") == 3
+
+
+def test_full_pallas_forward_matches_ckpt(reference_path):
+    from diffsg_tpu.utils.torch_import import ddpm_from_torch
+
+    path = reference_path / "ckpts" / "ddpm_nu_3u.pt"
+    if not path.exists():
+        pytest.skip("NU ckpt missing")
+    params, _, _, _ = ddpm_from_torch(str(path))
+    model = unet_nu(3)
+    rng = np.random.default_rng(0)
+    B = 32
+    y = jnp.asarray(rng.normal(0, 1, (B, 5)), jnp.float32)
+    t = jnp.asarray(rng.uniform(0, 1, (B,)), jnp.float32)
+    c = jnp.asarray(rng.uniform(0, 1, (B, 6)), jnp.float32)
+    m = jnp.ones((B, 1), jnp.float32)
+    ref = model.apply({"params": params}, y, t, c, m)
+    out = unet_forward_pallas(params, model, y, t, c, m, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+    # apply_fn wrapper round-trip
+    fn = unet_apply_fn(model, backend="pallas", interpret=True)
+    np.testing.assert_allclose(np.asarray(fn(params, y, t, c, m)),
+                               np.asarray(ref), atol=2e-6)
