@@ -72,6 +72,10 @@ def unet_forward_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Full UNet1D forward with fused-Pallas residual blocks."""
+    if any(model.is_attn) or model.middle_attn:
+        raise NotImplementedError(
+            "pallas backend does not fuse AttentionBlocks; use backend='xla' "
+            "for attention-enabled configs (no shipped config uses attention)")
     down_kinds, up_kinds = unet_topology(model.dims, model.n_blocks)
 
     t_emb = _time_features(params["time_emb"], t, model.proj_dim * 4)

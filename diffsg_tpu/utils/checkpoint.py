@@ -58,7 +58,7 @@ def save_checkpoint(
     if sched is not None:
         arrays["schedule/betas"] = np.asarray(sched.betas, dtype=np.float64)
     arrays["step"] = np.asarray(step)
-    np.savez(d / "arrays.npz", **arrays)
+    np.savez_compressed(d / "arrays.npz", **arrays)
 
     meta = dict(metadata or {})
     meta["format"] = "diffsg_tpu.npz.v1"
