@@ -1,4 +1,4 @@
-from .base import Task, sample_solutions, evaluate
+from .base import Task, sample_solutions, sample_best_of_n, evaluate
 from .msr import MSR
 from .co import CO
 from .nu import NU

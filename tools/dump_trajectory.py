@@ -37,6 +37,11 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     from diffsg_tpu.tasks import TASKS
     from diffsg_tpu.tasks.base import sample_solutions
     from diffsg_tpu.utils import load_checkpoint

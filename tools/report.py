@@ -107,6 +107,8 @@ def main():
     ap.add_argument("--mtfnn-ckpt", default=None)
     ap.add_argument("--ppo-ckpt", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--best-of", type=int, default=1,
+                    help="best-of-N candidate selection (framework extension)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -115,6 +117,11 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     from diffsg_tpu.tasks import TASKS, evaluate
     from diffsg_tpu.utils import MetricsLogger, load_checkpoint
@@ -132,9 +139,9 @@ def main():
         if ck is not None:
             for omega in args.omegas:
                 m = evaluate(task, ck["params"], ck["sched"], data,
-                             omega=omega, seed=args.seed)
+                             omega=omega, seed=args.seed, best_of=args.best_of)
                 log.log({"solver": "ddpm", "task": args.task, "dataset": ds,
-                         "omega": omega, **m})
+                         "omega": omega, "best_of": args.best_of, **m})
         if "gd" in args.baselines:
             log.log({"solver": "gd", "task": args.task, "dataset": ds,
                      **baseline_metrics(args.task, data,

@@ -76,6 +76,9 @@ def main():
 
     metrics = evaluate(task, params, sched, data, omega=args.omega)
     print(json.dumps({"task": args.task, "dataset": args.dataset, **metrics}))
+    if not args.eval_only and cfg.use_ema:
+        ema_metrics = evaluate(task, ema.params, sched, data, omega=args.omega)
+        print(json.dumps({"task": args.task, "params": "ema", **ema_metrics}))
 
 
 if __name__ == "__main__":
