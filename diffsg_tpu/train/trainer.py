@@ -146,13 +146,25 @@ def train_ddpm(
     init_params: Optional[Any] = None,
     log_every: int = 10,
     log_fn: Callable[[str], None] = print,
+    resume_state: Optional[dict] = None,
+    checkpoint_every: int = 0,
+    checkpoint_dir: Optional[str] = None,
 ) -> Tuple[Any, EmaState, Schedule]:
-    """Full training run for one task.  Returns (params, ema, schedule)."""
+    """Full training run for one task.  Returns (params, ema, schedule).
+
+    Mid-training resume (a capability beyond the reference's bare
+    state_dict persistence): pass ``checkpoint_every``/``checkpoint_dir``
+    to persist {params, EMA, optimizer state, global step} periodically,
+    and ``resume_state`` (the dict from ``utils.checkpoint.load_checkpoint``)
+    to continue exactly where a run stopped — the epoch RNG stream is
+    derived from the epoch index, so a resumed run consumes the same keys
+    the uninterrupted run would have.
+    """
     from .init import torch_style_init
 
     sched = cosine_schedule(cfg.T)
-    key = jax.random.PRNGKey(cfg.seed)
-    k_init, k_reinit, key = jax.random.split(key, 3)
+    root_key = jax.random.PRNGKey(cfg.seed)
+    k_init, k_reinit, root_key = jax.random.split(root_key, 3)
 
     D, C = Y_train.shape[1], X_train.shape[1]
     variables = model.init(
@@ -174,13 +186,70 @@ def train_ddpm(
         ema=ema_init(params),
         step=jnp.zeros((), jnp.int32),
     )
+    start_epoch = 0
+    if resume_state is not None:
+        state, start_epoch = restore_train_state(resume_state, optimizer, state)
+
     epoch_fn = build_train_epoch(apply_fn, sched, optimizer, cfg, n)
 
     X = jnp.asarray(X_train, jnp.float32)
     Y = jnp.asarray(Y_train, jnp.float32)
-    for epoch in range(cfg.epochs):
-        key, k = jax.random.split(key)
+    for epoch in range(start_epoch, cfg.epochs):
+        k = jax.random.fold_in(root_key, epoch)
         state, loss = epoch_fn(state, X, Y, k)
         if log_every and (epoch % log_every == 0 or epoch == cfg.epochs - 1):
             log_fn(f"epoch {epoch}: loss {float(loss):.6f}")
+        if checkpoint_every and checkpoint_dir and (epoch + 1) % checkpoint_every == 0:
+            from ..utils.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_dir, state.params, ema=state.ema,
+                            opt_state=state.opt_state, step=int(state.step),
+                            sched=sched, metadata={"epoch": epoch + 1})
     return state.params, state.ema, sched
+
+
+def restore_train_state(ck: dict, optimizer, template: TrainState
+                        ) -> Tuple[TrainState, int]:
+    """Rebuild a TrainState from a loaded checkpoint dict.
+
+    The optimizer state is restored by mapping the flat-saved arrays onto a
+    freshly initialized opt_state of identical structure.
+    """
+    params = jax.tree.map(jnp.asarray, ck["params"])
+    ema = ck.get("ema")
+    if ema is None:
+        ema = ema_init(params)
+    else:
+        ema = EmaState(jax.tree.map(jnp.asarray, ema.params),
+                       jnp.asarray(ema.n_averaged))
+    opt_state = template.opt_state
+    if "opt_state_raw" in ck:
+        saved_map = _flatten_strkeys(ck["opt_state_raw"])
+        fresh = optimizer.init(params)
+        flat_fresh, treedef = jax.tree_util.tree_flatten_with_path(fresh)
+        rebuilt = []
+        for path, leaf in flat_fresh:
+            key = "/".join(_path_str(p) for p in path)
+            if key in saved_map:
+                rebuilt.append(jnp.asarray(saved_map[key]).astype(leaf.dtype))
+            else:
+                rebuilt.append(leaf)
+        opt_state = jax.tree_util.tree_unflatten(treedef, rebuilt)
+    step = int(ck.get("step", 0))
+    state = TrainState(params, opt_state, ema, jnp.asarray(step, jnp.int32))
+    epoch = int(ck.get("metadata", {}).get("epoch", 0))
+    return state, epoch
+
+
+def _path_str(p) -> str:
+    return str(p.key) if hasattr(p, "key") else str(getattr(p, "idx", p))
+
+
+def _flatten_strkeys(tree, prefix="") -> dict:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten_strkeys(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = tree
+    return out

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--use-ema", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--eval-only", default=None, help="load ckpt dir and eval")
+    ap.add_argument("--resume", default=None, help="checkpoint dir to resume from")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="save a resumable checkpoint every N epochs")
     args = ap.parse_args()
 
     if args.cpu:
@@ -61,10 +64,14 @@ def main():
         print(f"training {args.task} on {args.dataset} "
               f"({data.X_train.shape[0]} samples, device {jax.devices()[0]})")
         t0 = time.time()
+        resume_state = load_checkpoint(args.resume) if args.resume else None
         params, ema, sched = train_ddpm(
             model, data.X_train, data.Y_train, cfg,
             log_fn=lambda s: log.log({"event": "train", "msg": s}),
             log_every=10,
+            resume_state=resume_state,
+            checkpoint_every=args.checkpoint_every,
+            checkpoint_dir=str(pathlib.Path(args.out) / "resume") if args.checkpoint_every else None,
         )
         train_s = time.time() - t0
         save_checkpoint(args.out, params, ema=ema, sched=sched,
