@@ -13,6 +13,10 @@ Per-task specifics (reference line refs):
     term, 100 iters, step 1e-3, then residual redistribution to sum W.
   * NU  (``GD.py:100-157``): hand-derived K=3 gradient (kept K=3 like the
     reference), 100 iters, step 0.1, powers rescaled to sum P_sum.
+    NOTE: the reference feeds the loader-NORMALIZED coordinates (in [0, 1])
+    to the gradient while initializing the UAV at (width/2, height/2) —
+    dimensionally odd, but reproduced for comparable baseline numbers
+    (``GD.py:123,131``); pass ``coords_norm`` accordingly.
 """
 
 from __future__ import annotations
@@ -111,17 +115,18 @@ def _nu_gradient(y, coords, P_sum: float):
 
 
 @partial(jax.jit, static_argnames=("iterations",))
-def nu_gd_solve(coords_unnorm, P_sum: float = 18.0, width: float = 400.0,
+def nu_gd_solve(coords_norm, P_sum: float = 18.0, width: float = 400.0,
                 height: float = 400.0, iterations: int = 100, step: float = 0.1):
     """Returns (B, 5) [uav_x, uav_y, P1..P3]; powers rescaled to sum P_sum
-    (GD.py:120-145)."""
-    B = coords_unnorm.shape[0]
+    (GD.py:120-145).  ``coords_norm`` are the loader-normalized user
+    coordinates, exactly what the reference passes (GD.py:123,131)."""
+    B = coords_norm.shape[0]
     K = 3
-    y0 = jnp.full((B, 2 + K), P_sum / K - 0.01, coords_unnorm.dtype)
+    y0 = jnp.full((B, 2 + K), P_sum / K - 0.01, coords_norm.dtype)
     y0 = y0.at[:, 0].set(width / 2).at[:, 1].set(height / 2)
 
     def body(_, y):
-        return y + step * _nu_gradient(y, coords_unnorm, P_sum)
+        return y + step * _nu_gradient(y, coords_norm, P_sum)
 
     y = jax.lax.fori_loop(0, iterations, body, y0)
     P = y[:, 2:]

@@ -90,7 +90,8 @@ def train_mtfnn(model: MLP, X_train: np.ndarray, Y_train: np.ndarray,
         model.init(k_init, jnp.zeros((1, X_train.shape[1])))["params"], k_re
     )
     n = X_train.shape[0]
-    steps = max(n // cfg.batch_size, 1)
+    batch = min(cfg.batch_size, n)
+    steps = max(n // batch, 1)
     optimizer = optax.adam(multistep_lr(cfg.lr, cfg.milestones, steps))
     opt_state = optimizer.init(params)
 
@@ -99,9 +100,9 @@ def train_mtfnn(model: MLP, X_train: np.ndarray, Y_train: np.ndarray,
 
     @jax.jit
     def epoch_fn(params, opt_state, key):
-        perm = jax.random.permutation(key, n)[: steps * cfg.batch_size]
-        Xs = X[perm].reshape(steps, cfg.batch_size, -1)
-        Ys = Y[perm].reshape(steps, cfg.batch_size, -1)
+        perm = jax.random.permutation(key, n)[: steps * batch]
+        Xs = X[perm].reshape(steps, batch, -1)
+        Ys = Y[perm].reshape(steps, batch, -1)
 
         def body(carry, batch):
             p, o = carry

@@ -130,9 +130,14 @@ def train_ppo(
     k_init, key = jax.random.split(key)
     params = orthogonal_ppo_init(agent, k_init)
 
-    n = X_train.shape[0]
-    B = cfg.batch_size
-    steps = max(n // B, 1)
+    B = min(cfg.batch_size, X_train.shape[0])
+    steps = max(X_train.shape[0] // B, 1)
+    # the carried next-epoch dataset has exactly steps*B rows; trim upfront
+    # so every epoch permutes over the true row count (a larger n would make
+    # JAX clamp out-of-range gather indices and silently oversample rows)
+    n = steps * B
+    X_train = X_train[:n]
+    Y_train = Y_train[:n]
     actor_opt = optax.adam(multistep_lr(cfg.lr, cfg.milestones, steps))
     critic_opt = optax.adam(multistep_lr(cfg.lr, cfg.milestones, steps))
     # masked updates: actor optimizer touches actor/* only, critic critic/*;

@@ -209,8 +209,10 @@ def co_minlp_gen_7feature(
                     + beta[:, None, :] * (CO_P_T * updown + CO_P_I * exec_term))
         total = np.sum((1 - D_all)[None] * cost_local[:, None, :]
                        + D_all[None] * cost_off, axis=2)
-        delays = np.where(D_all[None] > 0, updown - w[:, None, :] / r_u[:, None, :]
-                          + exec_term, (c / f_local)[:, None, :])
+        # offload delay includes the downlink w/r_d (r_d == r_u), matching
+        # dataset_generate.py:113,117
+        delays = np.where(D_all[None] > 0, updown + exec_term,
+                          (c / f_local)[:, None, :])
         sat = np.all(delays < theta[:, None, :], axis=2)
 
         best = np.argmin(total, axis=1)
@@ -442,8 +444,12 @@ def nu_dataset_extension(src_data: np.ndarray, times: int = 3, seed: int = 0,
             if rng.integers(2) == 0:  # translate
                 x_min, x_max = row[xi[:3]].min(), row[xi[:3]].max()
                 y_min, y_max = row[yi[:3]].min(), row[yi[:3]].max()
-                dx = (rng.integers(width - x_max) if width > x_max else 0) - x_min
-                dy = (rng.integers(height - y_max) if height > y_max else 0) - y_min
+                # coords can be fractional (rotated inputs): floor the range
+                # like the reference's np.random.randint would, guarding the
+                # sub-1 case it crashes on.
+                hi_x, hi_y = int(width - x_max), int(height - y_max)
+                dx = (rng.integers(hi_x) if hi_x >= 1 else 0) - x_min
+                dy = (rng.integers(hi_y) if hi_y >= 1 else 0) - y_min
                 row[xi] += dx
                 row[yi] += dy
             else:  # flip + small rotation about the centroid

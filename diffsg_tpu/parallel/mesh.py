@@ -58,7 +58,9 @@ def param_shardings(params: Any, mesh: Mesh, tp_min_width: int = 128) -> Any:
     """Column-shard wide Dense kernels over ``tp``; replicate the rest.
 
     A kernel (in, out) with ``out >= tp_min_width`` and divisible by the tp
-    size gets P(None, 'tp') and its bias P('tp'); everything else replicates.
+    size gets P(None, 'tp'); everything else (including biases) replicates —
+    GSPMD inserts the gathers where a replicated bias meets a tp-sharded
+    activation.
     """
     tp_size = mesh.shape["tp"]
 

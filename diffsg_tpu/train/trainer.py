@@ -90,7 +90,7 @@ def build_train_epoch(
 
     X: (N, C) conditions, Y: (N, D) solutions — both resident device arrays.
     """
-    B = cfg.batch_size
+    B = min(cfg.batch_size, n_samples)
     steps = max(n_samples // B, 1)
 
     def train_step(state: TrainState, batch, key) -> Tuple[TrainState, jnp.ndarray]:
@@ -242,7 +242,10 @@ def restore_train_state(ck: dict, optimizer, template: TrainState
 
 
 def _path_str(p) -> str:
-    return str(p.key) if hasattr(p, "key") else str(getattr(p, "idx", p))
+    # must stay string-identical to utils.checkpoint._flatten's key scheme
+    from ..utils.checkpoint import path_component_str
+
+    return path_component_str(p)
 
 
 def _flatten_strkeys(tree, prefix="") -> dict:

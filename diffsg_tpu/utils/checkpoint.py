@@ -24,13 +24,17 @@ from ..train.ema import EmaState
 from ..train.trainer import TrainState
 
 
+def path_component_str(p) -> str:
+    """Stringify one jax key-path component (shared by save and restore —
+    trainer.restore_train_state depends on this exact scheme)."""
+    return str(p.key) if hasattr(p, "key") else str(getattr(p, "idx", p))
+
+
 def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     out = {}
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     for path, leaf in flat:
-        key = prefix + "/".join(
-            str(p.key) if hasattr(p, "key") else str(getattr(p, "idx", p)) for p in path
-        )
+        key = prefix + "/".join(path_component_str(p) for p in path)
         out[key] = np.asarray(leaf)
     return out
 

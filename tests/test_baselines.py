@@ -125,10 +125,12 @@ def test_msr_gd(msr_data):
 def test_nu_gd(nu_data):
     td = nu_data
     cfg = td.config
+    # the reference feeds loader-normalized coords to the gradient (GD.py:131)
+    X_norm = jnp.asarray(td.X_test[:512], jnp.float32)
     X = np.array(td.X_test[:512])
     X[:, 0::2] *= cfg["width"]
     X[:, 1::2] *= cfg["height"]
-    sol = nu_gd_solve(jnp.asarray(X, jnp.float32), P_sum=cfg["P_sum"])
+    sol = nu_gd_solve(X_norm, P_sum=cfg["P_sum"])
     np.testing.assert_allclose(np.asarray(sol)[:, 2:].sum(1), cfg["P_sum"], rtol=1e-4)
     Yt = np.array(td.Y_test[:512])
     Yt[:, 0] *= cfg["width"]

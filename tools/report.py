@@ -47,7 +47,9 @@ def run_gd(task_name, data, task):
         return np.asarray(msr_gd_solve(X, W=data.config["W"]))
     if task_name == "co":
         return np.asarray(co_gd_solve(X, node_num=data.config["node_num"]))
-    return np.asarray(nu_gd_solve(X, P_sum=data.config["P_sum"]))
+    # reference GD.py:131 feeds the loader-NORMALIZED coords to the gradient
+    X_norm = jnp.asarray(data.X_test, jnp.float32)
+    return np.asarray(nu_gd_solve(X_norm, P_sum=data.config["P_sum"]))
 
 
 def run_mtfnn(task_name, data, task, ckpt):
