@@ -1,0 +1,122 @@
+"""Serving API: a warmed, jitted solver handle.
+
+The reference's "inference" is a research eval loop; this wraps the engine
+the way a production consumer would hold it: load once, warm the compile
+cache for fixed batch buckets, then call ``solve`` with raw conditions and
+get decoded feasible solutions back.  Guidance scale and candidate count are
+runtime knobs (omega is traced; best_of selects via the on-device objective).
+
+Example:
+    from diffsg_tpu.serve import Solver
+    solver = Solver.from_checkpoint("ckpts/ddpm_nu_3u", task="nu",
+                                    dataset_config={"K": 3, "P_sum": 18.0,
+                                                    "width": 400, "height": 400})
+    Y = solver.solve(X)                      # (B, 5) feasible solutions
+    Y = solver.solve(X, omega=2000, best_of=8)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .diffusion.ddpm import cfg_sample
+from .diffusion.schedule import Schedule
+from .tasks import TASKS
+from .tasks.base import Task
+
+
+class Solver:
+    """A loaded task + checkpoint with jitted single-draw and best-of-N paths.
+
+    Conditions are padded up to the nearest batch bucket so repeated calls
+    with varying sizes reuse a handful of compiled programs.
+    """
+
+    def __init__(self, task: Task, params: Any, sched: Schedule,
+                 config: Dict, buckets: Sequence[int] = (1, 64, 512, 4096)):
+        self.task = task
+        self.params = params
+        self.sched = sched
+        self.config = dict(config)
+        self.buckets = sorted(buckets)
+        self._model = task.build_model(self.config)
+        self._D = task.data_dim(self.config)
+
+        def apply_fn(p, y, t, c, m):
+            return self._model.apply({"params": p}, y, t, c, m)
+
+        def _single(cond, key, omega):
+            y0, _ = cfg_sample(apply_fn, self.params, self.sched, cond,
+                               omega, self._D, key=key)
+            return self.task.decode(y0, self.config)
+
+        def _best_of(cond, cond_unnorm, key, omega, n):
+            keys = jax.random.split(key, n)
+
+            def one(k):
+                dec = _single(cond, k, omega)
+                return dec, self.task.objective(dec, cond_unnorm, self.config)
+
+            decs, scores = jax.vmap(one)(keys)
+            pick = (jnp.argmax(scores, axis=0) if self.task.higher_is_better
+                    else jnp.argmin(scores, axis=0))
+            return jnp.take_along_axis(decs, pick[None, :, None], axis=0)[0]
+
+        self._single = jax.jit(_single)
+        self._best_of = jax.jit(_best_of, static_argnames=("n",))
+
+    @classmethod
+    def from_checkpoint(cls, ckpt_dir: str, task: str,
+                        dataset_config: Optional[Dict] = None, **kw) -> "Solver":
+        """Load a framework checkpoint (utils.checkpoint layout)."""
+        from .utils.checkpoint import load_checkpoint
+
+        ck = load_checkpoint(ckpt_dir)
+        config = dict(ck["metadata"].get("dataset_config") or {})
+        config.update(dataset_config or {})
+        return cls(TASKS[task], ck["params"], ck["sched"], config, **kw)
+
+    @classmethod
+    def from_torch_checkpoint(cls, pt_path: str, task: str,
+                              dataset_config: Dict, **kw) -> "Solver":
+        """Load a reference torch DDPM checkpoint directly."""
+        from .utils.torch_import import ddpm_from_torch
+
+        params, _, sched, _ = ddpm_from_torch(pt_path)
+        return cls(TASKS[task], params, sched, dataset_config, **kw)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return n  # larger than the biggest bucket: compile for exact size
+
+    def warmup(self, omega: Optional[float] = None) -> None:
+        """Pre-compile the single-draw path for every bucket."""
+        om = self.task.default_omega if omega is None else omega
+        C = self.task.cond_dim(self.config)
+        for b in self.buckets:
+            self._single(jnp.zeros((b, C), jnp.float32), jax.random.PRNGKey(0),
+                         jnp.float32(om)).block_until_ready()
+
+    def solve(self, X: np.ndarray, omega: Optional[float] = None,
+              best_of: int = 1, seed: int = 0) -> np.ndarray:
+        """Conditions (B, C), loader-normalized -> decoded solutions (B, D)."""
+        om = jnp.float32(self.task.default_omega if omega is None else omega)
+        n = X.shape[0]
+        b = self._bucket(n)
+        pad = b - n
+        Xp = np.concatenate([X, np.repeat(X[-1:], pad, axis=0)]) if pad else X
+        cond = jnp.asarray(Xp, jnp.float32)
+        key = jax.random.PRNGKey(seed)
+        if best_of <= 1:
+            out = self._single(cond, key, om)
+        else:
+            cu = jnp.asarray(self.task.unnormalize_x(np.asarray(Xp), self.config),
+                             jnp.float32)
+            out = self._best_of(cond, cu, key, om, best_of)
+        return np.asarray(out)[:n]

@@ -39,3 +39,27 @@ def test_roundtrip_through_training_state(tmp_path):
     out1 = model.apply({"params": v["params"]}, x, jnp.ones((4,)), x, jnp.ones((4, 1)))
     out2 = model.apply({"params": ck["params"]}, x, jnp.ones((4,)), x, jnp.ones((4, 1)))
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_torch_export_roundtrip(tmp_path, reference_path):
+    """Export to the reference torch layout, re-import, compare exactly.
+    (Strict-load into the actual reference DDPM class verified manually in
+    round 1 — see docs/RESULTS.md parity section.)"""
+    import pytest
+
+    pt = reference_path / "ckpts" / "ddpm_nu_3u.pt"
+    if not pt.exists():
+        pytest.skip("NU ckpt missing")
+    from diffsg_tpu.utils.torch_import import ddpm_from_torch
+    from diffsg_tpu.utils.torch_export import ddpm_to_torch
+    from diffsg_tpu.train.ema import EmaState
+
+    params, ema_p, sched, _ = ddpm_from_torch(str(pt))
+    out = str(tmp_path / "exported.pt")
+    ddpm_to_torch(out, params, sched, EmaState(ema_p, jnp.asarray(3, jnp.int32)))
+    p2, e2, s2, n2 = ddpm_from_torch(out)
+    assert n2 == 3
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(sched.betas), np.asarray(s2.betas),
+                               rtol=1e-7)
