@@ -61,19 +61,29 @@ def main():
             run(cond, jax.random.PRNGKey(2 + i)).block_until_ready()
         return B / ((time.perf_counter() - t0) / iters)
 
+    import sys
+    import traceback
+
     results = {}
+    errors = []
     for backend in ("xla", "pallas"):
         best = 0.0
         for B in (8192, 32768):
             try:
                 sps = measure(backend, B)
-            except Exception:
+            except Exception as e:
+                errors.append(f"{backend}/B={B}: {type(e).__name__}: {e}")
+                traceback.print_exc(file=sys.stderr)
                 continue
             if sps > best:
                 best, best_B = sps, B
         if best > 0:
             results[backend] = (best, best_B)
 
+    if not results:
+        raise RuntimeError("all benchmark configs failed:\n" + "\n".join(errors))
+    for err in errors:
+        print(f"# skipped: {err}", file=sys.stderr)
     backend = max(results, key=lambda b: results[b][0])
     best, best_B = results[backend]
     print(json.dumps({

@@ -344,7 +344,7 @@ def _points_in_triangle(px, py, tri):
 
 def noma_uav_gen(sample_num: int, P_sum: float = 18.0, seed: int = 0,
                  K: int = 3, width: int = 400, height: int = 400,
-                 grid_step: int = 1, point_chunk: int = 2048,
+                 grid_step: float = 1, point_chunk: int = 2048,
                  legacy_sinr: bool = False) -> np.ndarray:
     """NU oracle (``noma_uav_gen.py:64-116``), vectorized.
 

@@ -26,23 +26,28 @@ import jax.numpy as jnp
 from .diffusion.ddpm import cfg_sample
 from .diffusion.schedule import Schedule
 from .tasks import TASKS
-from .tasks.base import Task
+from .tasks.base import Task, select_best
 
 
 class Solver:
     """A loaded task + checkpoint with jitted single-draw and best-of-N paths.
 
-    Conditions are padded up to the nearest batch bucket so repeated calls
-    with varying sizes reuse a handful of compiled programs.
+    ``buckets``: optional batch-size buckets.  When set, conditions are
+    padded up to the nearest bucket so repeated calls with varying sizes
+    reuse a handful of compiled programs — BUT the sampler's early-step
+    re-standardization and the MSR/NU decoders are batch-global, so pad rows
+    perturb the real rows slightly and results shift at bucket boundaries.
+    The default (None) compiles per distinct batch size and matches
+    tasks.base.evaluate exactly.
     """
 
     def __init__(self, task: Task, params: Any, sched: Schedule,
-                 config: Dict, buckets: Sequence[int] = (1, 64, 512, 4096)):
+                 config: Dict, buckets: Optional[Sequence[int]] = None):
         self.task = task
         self.params = params
         self.sched = sched
         self.config = dict(config)
-        self.buckets = sorted(buckets)
+        self.buckets = sorted(buckets) if buckets else None
         self._model = task.build_model(self.config)
         self._D = task.data_dim(self.config)
 
@@ -62,9 +67,7 @@ class Solver:
                 return dec, self.task.objective(dec, cond_unnorm, self.config)
 
             decs, scores = jax.vmap(one)(keys)
-            pick = (jnp.argmax(scores, axis=0) if self.task.higher_is_better
-                    else jnp.argmin(scores, axis=0))
-            return jnp.take_along_axis(decs, pick[None, :, None], axis=0)[0]
+            return select_best(decs, scores, self.task.higher_is_better)
 
         self._single = jax.jit(_single)
         self._best_of = jax.jit(_best_of, static_argnames=("n",))
@@ -90,16 +93,19 @@ class Solver:
         return cls(TASKS[task], params, sched, dataset_config, **kw)
 
     def _bucket(self, n: int) -> int:
+        if not self.buckets:
+            return n
         for b in self.buckets:
             if n <= b:
                 return b
         return n  # larger than the biggest bucket: compile for exact size
 
-    def warmup(self, omega: Optional[float] = None) -> None:
-        """Pre-compile the single-draw path for every bucket."""
+    def warmup(self, omega: Optional[float] = None,
+               sizes: Optional[Sequence[int]] = None) -> None:
+        """Pre-compile the single-draw path for every bucket (or ``sizes``)."""
         om = self.task.default_omega if omega is None else omega
         C = self.task.cond_dim(self.config)
-        for b in self.buckets:
+        for b in (sizes or self.buckets or ()):
             self._single(jnp.zeros((b, C), jnp.float32), jax.random.PRNGKey(0),
                          jnp.float32(om)).block_until_ready()
 

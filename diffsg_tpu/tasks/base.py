@@ -94,6 +94,30 @@ def sample_solutions(
     return np.concatenate(outs), (traces if record_trace else None)
 
 
+def select_best(decs: jnp.ndarray, scores: jnp.ndarray,
+                higher_is_better: bool) -> jnp.ndarray:
+    """Pick the best candidate per sample: decs (n, B, D), scores (n, B)."""
+    pick = (jnp.argmax(scores, axis=0) if higher_is_better
+            else jnp.argmin(scores, axis=0))
+    return jnp.take_along_axis(decs, pick[None, :, None], axis=0)[0]
+
+
+def objective_metrics(task: Task, data: TaskData, Y_pred: np.ndarray
+                      ) -> Dict[str, float]:
+    """The reference's ratio/diff metric block for any solver's predictions."""
+    X_unnorm = task.unnormalize_x(data.X_test, data.config)
+    Y_true = task.unnormalize_y(data.Y_test, data.config)
+    pred = np.asarray(task.objective(
+        jnp.asarray(Y_pred, jnp.float32), jnp.asarray(X_unnorm, jnp.float32),
+        data.config))
+    true = np.asarray(task.objective(
+        jnp.asarray(Y_true, jnp.float32), jnp.asarray(X_unnorm, jnp.float32),
+        data.config))
+    name = "less_ratio" if task.higher_is_better else "exceeded_ratio"
+    return {name: float(pred.sum() / true.sum()),
+            "avg_diff": float((pred - true).mean())}
+
+
 def sample_best_of_n(
     task: Task,
     params: Any,
@@ -134,11 +158,7 @@ def sample_best_of_n(
             return dec, task.objective(dec, cond_unnorm, config)
 
         decs, scores = jax.vmap(one)(keys)        # (n, B, D), (n, B)
-        best = (jnp.argmax(scores, axis=0) if task.higher_is_better
-                else jnp.argmin(scores, axis=0))  # (B,)
-        return jnp.take_along_axis(
-            decs, best[None, :, None], axis=0
-        )[0]
+        return select_best(decs, scores, task.higher_is_better)
 
     key = jax.random.PRNGKey(seed)
     outs = []

@@ -87,7 +87,7 @@ def main():
             data = np.concatenate([qs, sol], axis=1)
         else:
             data = noma_uav_gen(args.samples, args.power, args.seed,
-                                grid_step=int(args.grid_step),
+                                grid_step=args.grid_step,
                                 legacy_sinr=args.legacy_sinr)
         np.savetxt(out, data, delimiter=",")
 

@@ -24,17 +24,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def baseline_metrics(task_name, data, Y_pred, task):
-    import jax.numpy as jnp
+    from diffsg_tpu.tasks.base import objective_metrics
 
-    X_unnorm = task.unnormalize_x(data.X_test, data.config)
-    Y_true = task.unnormalize_y(data.Y_test, data.config)
-    pred = np.asarray(task.objective(jnp.asarray(Y_pred, jnp.float32),
-                                     jnp.asarray(X_unnorm, jnp.float32), data.config))
-    true = np.asarray(task.objective(jnp.asarray(Y_true, jnp.float32),
-                                     jnp.asarray(X_unnorm, jnp.float32), data.config))
-    name = "less_ratio" if task.higher_is_better else "exceeded_ratio"
-    return {name: float(pred.sum() / true.sum()),
-            "avg_diff": float((pred - true).mean())}
+    return objective_metrics(task, data, Y_pred)
 
 
 def run_gd(task_name, data, task):
@@ -52,6 +44,18 @@ def run_gd(task_name, data, task):
     return np.asarray(nu_gd_solve(X_norm, P_sum=data.config["P_sum"]))
 
 
+def _load_baseline_params(ckpt, torch_loader):
+    """Accept either a reference torch .pt file or a framework npz ckpt dir
+    (written by tools/train_baselines.py --out)."""
+    import pathlib as _pl
+
+    if _pl.Path(ckpt).is_dir():
+        from diffsg_tpu.utils import load_checkpoint
+
+        return load_checkpoint(ckpt)["params"]
+    return torch_loader()
+
+
 def run_mtfnn(task_name, data, task, ckpt):
     import jax.numpy as jnp
     from diffsg_tpu.baselines import (
@@ -61,14 +65,14 @@ def run_mtfnn(task_name, data, task, ckpt):
     cfg = data.config
     if task_name == "msr":
         model = mtfnn_msr_model(cfg["M"])
-        params = load_mtfnn_ckpt(ckpt, 4)
+        params = _load_baseline_params(ckpt, lambda: load_mtfnn_ckpt(ckpt, 4))
         return np.asarray(model.apply({"params": params}, X)) * cfg["W"]
     if task_name == "co":
         model = mtfnn_co_model()
-        params = load_mtfnn_ckpt(ckpt, 4)
+        params = _load_baseline_params(ckpt, lambda: load_mtfnn_ckpt(ckpt, 4))
         return np.asarray(model.apply({"params": params}, X))
     model = mtfnn_nu_model(cfg["K"])
-    params = load_mtfnn_ckpt(ckpt, 5)
+    params = _load_baseline_params(ckpt, lambda: load_mtfnn_ckpt(ckpt, 5))
     Y = np.array(model.apply({"params": params}, X))
     Y[:, 0] *= cfg["width"]
     Y[:, 1] *= cfg["height"]
@@ -82,7 +86,7 @@ def run_ppo(task_name, data, task, ckpt):
     from diffsg_tpu.ops import nu_decode
 
     cfg = data.config
-    params = load_ppo_ckpt(ckpt)
+    params = _load_baseline_params(ckpt, lambda: load_ppo_ckpt(ckpt))
     if task_name == "msr":
         agent = PPOAgent(cfg["M"], cfg["M"])
         return np.asarray(ppo_predict(

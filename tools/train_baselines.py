@@ -40,7 +40,7 @@ def main():
     from diffsg_tpu.tasks import TASKS
     from diffsg_tpu.ops import msr_sum_rate, co_cost, nu_rate, nu_decode
     from diffsg_tpu.utils import save_checkpoint
-    from tools.report import baseline_metrics  # reuse the metric block
+    from diffsg_tpu.tasks.base import objective_metrics
 
     task = TASKS[args.task]
     data = task.load(args.dataset)
@@ -130,7 +130,7 @@ def main():
         Y_pred = np.asarray(ppo_predict(agent, params, data.X_test,
                                         predict_transform))
 
-    metrics = baseline_metrics(args.task, data, Y_pred, task)
+    metrics = objective_metrics(task, data, Y_pred)
     print(json.dumps({"algo": args.algo, "task": args.task, **metrics}))
     if args.out:
         save_checkpoint(args.out, params,

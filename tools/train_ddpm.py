@@ -74,10 +74,13 @@ def main():
             checkpoint_dir=str(pathlib.Path(args.out) / "resume") if args.checkpoint_every else None,
         )
         train_s = time.time() - t0
+        dataset_config = {k: (v.item() if hasattr(v, "item") else v)
+                          for k, v in data.config.items()}
         save_checkpoint(args.out, params, ema=ema, sched=sched,
                         step=cfg.epochs,
                         metadata={"task": args.task, "dataset": args.dataset,
                                   "config": dataclasses.asdict(cfg),
+                                  "dataset_config": dataset_config,
                                   "train_seconds": train_s})
         log.log({"event": "saved", "out": args.out, "train_seconds": train_s})
 
