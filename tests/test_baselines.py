@@ -150,3 +150,28 @@ def test_co_gd(reference_path):
     assert shares.shape == (td.X_test.shape[0], 3)
     cost = co_cost(X, shares)
     assert bool(jnp.all(jnp.isfinite(cost)))
+
+
+def test_waterfilling_is_optimal(msr_data):
+    """Waterfilling beats every feasible competitor and satisfies KKT."""
+    from diffsg_tpu.baselines import waterfilling
+
+    td = msr_data
+    mn, mx = td.config["scaler_min"], td.config["scaler_max"]
+    g = jnp.asarray(td.X_test[:256] * (mx - mn) + mn, jnp.float32)
+    W = td.config["W"]
+    p = waterfilling(g, W)
+    np.testing.assert_allclose(np.asarray(p).sum(1), W, rtol=1e-5)
+    assert np.asarray(p).min() >= 0
+    wf_rate = np.asarray(msr_sum_rate(p, g))
+    # beats uniform and the GD solution on every sample (up to f32 noise)
+    uni_rate = np.asarray(msr_sum_rate(jnp.full_like(g, W / 3), g))
+    gd_rate = np.asarray(msr_sum_rate(msr_gd_solve(g, W=W), g))
+    assert np.all(wf_rate >= uni_rate - 1e-4)
+    assert np.all(wf_rate >= gd_rate - 1e-4)
+    # KKT: active channels share one water level mu = p + 1/g
+    mu = np.asarray(p + 1.0 / g)
+    act = np.asarray(p) > 1e-6
+    for i in range(8):
+        lv = mu[i][act[i]]
+        np.testing.assert_allclose(lv, lv[0], rtol=1e-4)
