@@ -51,6 +51,14 @@ def _extra_metrics(Y_dec, Y_true, pred_cost, true_cost, config):
     }
 
 
+def _decode_analytic(Y_raw, X_unnorm, config):
+    """Decision from the sampler, allocation from the closed-form optimum
+    (baselines.co_exact.co_analytic_decode)."""
+    from ..baselines.co_exact import co_analytic_decode
+
+    return co_analytic_decode(Y_raw, X_unnorm)
+
+
 CO = Task(
     name="co",
     build_model=lambda cfg: unet_co(cfg["node_num"]),
@@ -67,3 +75,10 @@ CO = Task(
     default_omega=500.0,
     extra_metrics=_extra_metrics,
 )
+
+
+import dataclasses as _dc
+
+#: CO with the analytic-allocation decode (decision from the sampler,
+#: continuous shares from the closed form) — see baselines/co_exact.py.
+CO_ANALYTIC = _dc.replace(CO, name="co_analytic", decode_with_x=_decode_analytic)

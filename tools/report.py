@@ -104,7 +104,7 @@ def run_ppo(task_name, data, task, ckpt):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", choices=["msr", "co", "nu"], required=True)
+    ap.add_argument("--task", choices=["msr", "co", "co_analytic", "nu"], required=True)
     ap.add_argument("--datasets", nargs="+", required=True)
     ap.add_argument("--ckpt", default=None, help="DDPM checkpoint dir")
     ap.add_argument("--omegas", type=float, nargs="+", default=[500.0])
@@ -115,6 +115,10 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--best-of", type=int, default=1,
                     help="best-of-N candidate selection (framework extension)")
+    ap.add_argument("--mix-omegas", type=float, nargs="+", default=None,
+                    help="per-candidate guidance mixture for best-of (tiled "
+                         "to --best-of candidates); overrides --omegas for "
+                         "the candidate draws")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -143,11 +147,22 @@ def main():
     for ds in args.datasets:
         data = task.load(ds)
         if ck is not None:
-            for omega in args.omegas:
+            if args.mix_omegas and args.best_of > 1:
+                reps = max(args.best_of // len(args.mix_omegas), 1)
+                mixture = [w for w in args.mix_omegas for _ in range(reps)]
                 m = evaluate(task, ck["params"], ck["sched"], data,
-                             omega=omega, seed=args.seed, best_of=args.best_of)
+                             omega=mixture, seed=args.seed,
+                             best_of=len(mixture))
                 log.log({"solver": "ddpm", "task": args.task, "dataset": ds,
-                         "omega": omega, "best_of": args.best_of, **m})
+                         "omega": f"mix{args.mix_omegas}",
+                         "best_of": len(mixture), **m})
+            else:
+                for omega in args.omegas:
+                    m = evaluate(task, ck["params"], ck["sched"], data,
+                                 omega=omega, seed=args.seed,
+                                 best_of=args.best_of)
+                    log.log({"solver": "ddpm", "task": args.task, "dataset": ds,
+                             "omega": omega, "best_of": args.best_of, **m})
         if "gd" in args.baselines:
             log.log({"solver": "gd", "task": args.task, "dataset": ds,
                      **baseline_metrics(args.task, data,
