@@ -83,3 +83,33 @@ def test_condition_c_shapes():
     y5 = jnp.asarray(rng.normal(0, 1, (8, 5)), jnp.float32)
     x6 = jnp.asarray(rng.uniform(0, 400, (8, 6)), jnp.float32)
     assert condition_c_nu(y5, x6, 400, 400, 18.0).shape == (8, 7)
+
+
+def test_condition_c_training_path():
+    """The cdim capability end-to-end: train a tiny CFG-DDPM whose condition
+    is augmented with the numerical objective (condition_C), as the
+    reference's commented-out path intended (classifier_free_MSR.py:105)."""
+    from diffsg_tpu.models.unet1d import UNet1D
+    from diffsg_tpu.diffusion import cosine_schedule, ddpm_loss, cfg_sample
+
+    rng = np.random.default_rng(0)
+    M = 3
+    X = jnp.asarray(rng.uniform(0, 1, (64, M)), jnp.float32)
+    Y = jnp.asarray(rng.dirichlet(np.ones(M), 64) * 10, jnp.float32)
+    sched = cosine_schedule(10)
+    model = UNet1D(input_dim=M, proj_dim=16, cond_dim=M + 1,  # + cdim
+                   dims=(8, 4), is_attn=(False, False), middle_attn=False,
+                   n_blocks=1)
+
+    def apply_fn(p, y, t, c, m):
+        # augment the condition with the current objective value in-line
+        c_aug = condition_c_msr(y, c, 0.5, 2.5)
+        return model.apply({"params": p}, y, t, c_aug, m)
+
+    v = model.init(jax.random.PRNGKey(0), Y[:1], jnp.zeros((1,)),
+                   jnp.zeros((1, M + 1)), jnp.ones((1, 1)))
+    loss = ddpm_loss(apply_fn, v["params"], sched, Y, X, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    y0, _ = cfg_sample(apply_fn, v["params"], sched, X[:8], 30.0, M,
+                       key=jax.random.PRNGKey(2))
+    assert y0.shape == (8, M) and bool(jnp.all(jnp.isfinite(y0)))

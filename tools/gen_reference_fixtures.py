@@ -14,7 +14,8 @@ Fixtures produced:
   decoders.npz         msr/co/nu decoder outputs on random inputs
   nu_unet_forward.npz  UNet1D forward (NU ckpt weights) on fixed inputs
   nu_sample.npz        full 20-step CFG sampler output with recorded noise
-  nu_eval.npz          end-to-end eval numbers for the NU test split
+  nu_data_head.npz     loader heads/sizes for the NU split
+  alpha_calc.npz       LRH step-direction golden values
 
 Run:  python tools/gen_reference_fixtures.py
 """
