@@ -2,9 +2,11 @@
 
 Flagship config per BASELINE.json: the MSR-3c classifier-free UNet1D
 (1.54M params) driven by the CFG reverse sampler — each denoise step is one
-folded 2B-row forward (cond+uncond).  The DDPM MSR checkpoint is a missing
-blob in the reference, so weights are deterministic random; throughput does
-not depend on weight values.
+folded 2B-row forward (cond+uncond).  Uses the T=100-trained checkpoint
+(ckpts/ddpm_msr_3c_T100, less ratio 0.9957 at these exact 100 denoise
+steps) when present, falling back to deterministic random weights
+(throughput does not depend on weight values; the reference's MSR ckpt is
+a missing blob).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "solutions/s", "vs_baseline": N/10000}
@@ -36,12 +38,23 @@ def main():
 
     from diffsg_tpu.models.unet1d_pallas import unet_apply_fn
 
+    import pathlib
+
     model = unet_msr(3)
-    key = jax.random.PRNGKey(0)
-    variables = model.init(key, jnp.zeros((1, 3)), jnp.zeros((1,)),
-                           jnp.zeros((1, 3)), jnp.ones((1, 1)))
-    params = torch_style_init(variables["params"], key)
-    sched = cosine_schedule(T)
+    ckpt = pathlib.Path(__file__).parent / "ckpts" / "ddpm_msr_3c_T100"
+    if ckpt.exists():
+        from diffsg_tpu.utils import load_checkpoint
+
+        ck = load_checkpoint(str(ckpt))
+        params, sched = ck["params"], ck["sched"]
+        weights = "trained(T100, less_ratio 0.9957)"
+    else:
+        key = jax.random.PRNGKey(0)
+        variables = model.init(key, jnp.zeros((1, 3)), jnp.zeros((1,)),
+                               jnp.zeros((1, 3)), jnp.ones((1, 1)))
+        params = torch_style_init(variables["params"], key)
+        sched = cosine_schedule(T)
+        weights = "random"
 
     def measure(backend, B, block_rows=1024):
         kw = {"block_rows": block_rows} if backend == "pallas" else {}
@@ -95,6 +108,7 @@ def main():
         "backend": backend,
         "all_backends": {b: round(v[0], 1) for b, v in results.items()},
         "omega": OMEGA,
+        "weights": weights,
         "device": str(jax.devices()[0]),
     }))
 

@@ -1,0 +1,100 @@
+"""DDIM sampler with step respacing — a sampler-zoo extension.
+
+The reference samples with ancestral DDPM at the training T only.  DDIM
+(Song et al. 2021) gives a deterministic (eta=0) or partially stochastic
+sampler over any sub-sequence of the trained timesteps, so a T=20-trained
+model can sample in, say, 5 steps — or a T=1000 model in 20 — trading steps
+for quality at serving time.
+
+Uses the same CFG fold and batch-constant time-embedding trick as
+:func:`diffusion.ddpm.cfg_sample`; the model interface and schedule are
+unchanged, so it works with any checkpoint (including converted reference
+ones).  The reference's early-step batch re-standardization is applied on
+the same leading steps of the *respaced* trajectory (configurable) since it
+is what keeps omega=500-scale guidance stable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .schedule import Schedule
+from .ddpm import ApplyFn
+
+
+def respaced_steps(T: int, n_steps: int) -> np.ndarray:
+    """Evenly spaced timestep sub-sequence, descending (t = T-1 ... 0)."""
+    return np.unique(np.linspace(0, T - 1, n_steps).round().astype(int))[::-1]
+
+
+def ddim_sample(
+    apply_fn: ApplyFn,
+    params: Any,
+    sched: Schedule,
+    cond: jnp.ndarray,
+    omega: float,
+    data_dim: int,
+    key: Optional[jax.Array] = None,
+    n_steps: Optional[int] = None,
+    eta: float = 0.0,
+    init_noise: Optional[jnp.ndarray] = None,
+    renorm_steps: int = 4,
+) -> Tuple[jnp.ndarray, None]:
+    """CFG-guided DDIM over a respaced timestep sub-sequence.
+
+    eta=0 is fully deterministic given ``init_noise``; eta=1 recovers
+    DDPM-like stochasticity on the sub-sequence.
+    """
+    B = cond.shape[0]
+    T = sched.T
+    dtype = cond.dtype
+    steps = respaced_steps(T, n_steps or T)
+    n = len(steps)
+    # alpha_bar at each step and at its successor in the sub-sequence
+    a_t = np.asarray(sched.alphas_cumprod)[steps]
+    a_prev = np.concatenate([np.asarray(sched.alphas_cumprod)[steps[1:]], [1.0]])
+    a_t = jnp.asarray(a_t, dtype)
+    a_prev = jnp.asarray(a_prev, dtype)
+    t_norm_all = jnp.asarray(steps, dtype) / T
+
+    if key is None and init_noise is None:
+        raise ValueError("ddim_sample needs `key` or `init_noise`")
+    if init_noise is None:
+        key, k_init = jax.random.split(key)
+        init_noise = jax.random.normal(k_init, (B, data_dim), dtype=dtype)
+    if eta > 0:
+        if key is None:
+            raise ValueError("eta > 0 needs `key`")
+        z_all = jax.random.normal(key, (n, B, data_dim), dtype=dtype)
+    else:
+        z_all = jnp.zeros((n, B, data_dim), dtype=dtype)
+
+    cond2 = jnp.concatenate([cond, cond], axis=0)
+    mask2 = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype), jnp.ones((B, 1), dtype)], axis=0
+    )
+
+    def step(y_t, inp):
+        i, at, ap, tn, z = inp
+        y2 = jnp.concatenate([y_t, y_t], axis=0)
+        eps2 = apply_fn(params, y2, tn[None], cond2, mask2)
+        eps = (1.0 + omega) * eps2[B:] - omega * eps2[:B]
+
+        # DDIM update: predict y0, then step to the previous alpha_bar
+        y0_pred = (y_t - jnp.sqrt(1.0 - at) * eps) / jnp.sqrt(at)
+        sigma = eta * jnp.sqrt((1.0 - ap) / (1.0 - at)) * jnp.sqrt(1.0 - at / ap)
+        dir_coeff = jnp.sqrt(jnp.maximum(1.0 - ap - sigma**2, 0.0))
+        y_next = jnp.sqrt(ap) * y0_pred + dir_coeff * eps + sigma * z
+
+        mean = jnp.mean(y_next)
+        var = jnp.var(y_next, ddof=1)
+        y_renorm = (y_next - mean) / jnp.sqrt(var)
+        return jnp.where(i < renorm_steps, y_renorm, y_next), None
+
+    idx = jnp.arange(n)
+    y0, _ = jax.lax.scan(step, init_noise, (idx, a_t, a_prev, t_norm_all, z_all))
+    return y0, None
