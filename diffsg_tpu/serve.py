@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .diffusion.ddpm import cfg_sample
+from .diffusion.ddim import ddim_sample
 from .diffusion.schedule import Schedule
 from .tasks import TASKS
 from .tasks.base import Task, select_best
@@ -54,23 +55,34 @@ class Solver:
         def apply_fn(p, y, t, c, m):
             return self._model.apply({"params": p}, y, t, c, m)
 
-        def _single(cond, key, omega):
-            y0, _ = cfg_sample(apply_fn, self.params, self.sched, cond,
-                               omega, self._D, key=key)
+        def _decode(y0, cond_unnorm):
+            if self.task.decode_with_x is not None:
+                return self.task.decode_with_x(y0, cond_unnorm, self.config)
             return self.task.decode(y0, self.config)
 
-        def _best_of(cond, cond_unnorm, key, omega, n):
-            keys = jax.random.split(key, n)
+        def _single(cond, cond_unnorm, key, omega):
+            y0, _ = cfg_sample(apply_fn, self.params, self.sched, cond,
+                               omega, self._D, key=key)
+            return _decode(y0, cond_unnorm)
 
-            def one(k):
-                dec = _single(cond, k, omega)
+        def _single_ddim(cond, cond_unnorm, key, omega, n_steps):
+            y0, _ = ddim_sample(apply_fn, self.params, self.sched, cond,
+                                omega, self._D, key=key, n_steps=n_steps)
+            return _decode(y0, cond_unnorm)
+
+        def _best_of(cond, cond_unnorm, key, omegas):
+            keys = jax.random.split(key, omegas.shape[0])
+
+            def one(k, w):
+                dec = _single(cond, cond_unnorm, k, w)
                 return dec, self.task.objective(dec, cond_unnorm, self.config)
 
-            decs, scores = jax.vmap(one)(keys)
+            decs, scores = jax.vmap(one)(keys, omegas)
             return select_best(decs, scores, self.task.higher_is_better)
 
         self._single = jax.jit(_single)
-        self._best_of = jax.jit(_best_of, static_argnames=("n",))
+        self._single_ddim = jax.jit(_single_ddim, static_argnames=("n_steps",))
+        self._best_of = jax.jit(_best_of)
 
     @classmethod
     def from_checkpoint(cls, ckpt_dir: str, task: str,
@@ -106,23 +118,37 @@ class Solver:
         om = self.task.default_omega if omega is None else omega
         C = self.task.cond_dim(self.config)
         for b in (sizes or self.buckets or ()):
-            self._single(jnp.zeros((b, C), jnp.float32), jax.random.PRNGKey(0),
+            z = jnp.zeros((b, C), jnp.float32)
+            self._single(z, z, jax.random.PRNGKey(0),
                          jnp.float32(om)).block_until_ready()
 
-    def solve(self, X: np.ndarray, omega: Optional[float] = None,
-              best_of: int = 1, seed: int = 0) -> np.ndarray:
-        """Conditions (B, C), loader-normalized -> decoded solutions (B, D)."""
-        om = jnp.float32(self.task.default_omega if omega is None else omega)
+    def solve(self, X: np.ndarray, omega=None,
+              best_of: int = 1, seed: int = 0,
+              sampler: str = "ddpm", n_steps: Optional[int] = None) -> np.ndarray:
+        """Conditions (B, C), loader-normalized -> decoded solutions (B, D).
+
+        omega: scalar or (for best_of > 1) a per-candidate guidance mixture.
+        sampler: "ddpm" (reference ancestral sampler) or "ddim"
+          (deterministic, supports step respacing via ``n_steps``).
+        """
+        omega = self.task.default_omega if omega is None else omega
         n = X.shape[0]
         b = self._bucket(n)
         pad = b - n
         Xp = np.concatenate([X, np.repeat(X[-1:], pad, axis=0)]) if pad else X
         cond = jnp.asarray(Xp, jnp.float32)
+        cu = jnp.asarray(self.task.unnormalize_x(np.asarray(Xp), self.config),
+                         jnp.float32)
         key = jax.random.PRNGKey(seed)
-        if best_of <= 1:
-            out = self._single(cond, key, om)
+        if sampler == "ddim":
+            if best_of > 1:
+                raise NotImplementedError("best_of with ddim: draw manually")
+            out = self._single_ddim(cond, cu, key, jnp.float32(omega),
+                                    n_steps or self.sched.T)
+        elif best_of <= 1 and np.isscalar(omega):
+            out = self._single(cond, cu, key, jnp.float32(omega))
         else:
-            cu = jnp.asarray(self.task.unnormalize_x(np.asarray(Xp), self.config),
-                             jnp.float32)
-            out = self._best_of(cond, cu, key, om, best_of)
+            omegas = (np.full(best_of, omega, np.float32) if np.isscalar(omega)
+                      else np.asarray(omega, np.float32))
+            out = self._best_of(cond, cu, key, jnp.asarray(omegas))
         return np.asarray(out)[:n]

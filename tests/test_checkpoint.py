@@ -63,3 +63,27 @@ def test_torch_export_roundtrip(tmp_path, reference_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_allclose(np.asarray(sched.betas), np.asarray(s2.betas),
                                rtol=1e-7)
+
+
+def test_orbax_roundtrip(tmp_path):
+    pytest_orbax = __import__("pytest")
+    try:
+        import orbax.checkpoint  # noqa: F401
+    except ImportError:
+        pytest_orbax.skip("orbax not installed")
+    from diffsg_tpu.utils.orbax_io import save_checkpoint_orbax, load_checkpoint_orbax
+    from diffsg_tpu.train import ema_init, ema_update
+    from diffsg_tpu.diffusion import cosine_schedule
+
+    params = {"dense": {"kernel": jnp.arange(6.0).reshape(2, 3),
+                        "bias": jnp.ones(3)}}
+    ema = ema_update(ema_init(params), params, 0.999)
+    sched = cosine_schedule(20)
+    save_checkpoint_orbax(str(tmp_path / "ock"), params, ema=ema, step=7,
+                          sched=sched, metadata={"task": "msr"})
+    ck = load_checkpoint_orbax(str(tmp_path / "ock"))
+    np.testing.assert_allclose(np.asarray(ck["params"]["dense"]["kernel"]),
+                               np.arange(6).reshape(2, 3))
+    assert ck["step"] == 7 and int(np.asarray(ck["ema"].n_averaged)) == 1
+    np.testing.assert_allclose(np.asarray(ck["sched"].betas),
+                               np.asarray(sched.betas), rtol=1e-7)

@@ -49,3 +49,16 @@ def test_solve_best_of(solver, reference_path):
     r1 = np.asarray(nu_rate(jnp.asarray(y1, jnp.float32), jnp.asarray(Xu, jnp.float32))).sum()
     r4 = np.asarray(nu_rate(jnp.asarray(y4, jnp.float32), jnp.asarray(Xu, jnp.float32))).sum()
     assert r4 >= r1
+
+
+def test_solve_ddim_and_mixture(solver, reference_path):
+    td = load_nu(str(reference_path / "datasets" / "3u_18mW_10000samples.csv"))
+    X = td.X_test[:32]
+    # DDIM with respacing: deterministic per seed, feasible
+    y1 = solver.solve(X, omega=500, sampler="ddim", n_steps=10, seed=3)
+    y2 = solver.solve(X, omega=500, sampler="ddim", n_steps=10, seed=3)
+    np.testing.assert_array_equal(y1, y2)
+    np.testing.assert_allclose(y1[:, 2:].sum(1), 18.0, rtol=1e-4)
+    # omega-mixture best-of
+    ym = solver.solve(X, omega=[150, 500, 2000, 5000], best_of=4, seed=4)
+    assert ym.shape == (32, 5)
