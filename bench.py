@@ -57,29 +57,41 @@ def main():
         weights = "random"
 
     def measure(backend, B, block_rows=1024):
-        kw = {"block_rows": block_rows} if backend == "pallas" else {}
-        apply_fn = unet_apply_fn(model, backend=backend, **kw)
+        if backend == "xla_bf16":
+            # quality-verified fast path: params + activations bf16, CFG
+            # combine and posterior math f32 (T100 ckpt: less ratio 0.9957
+            # bf16 vs 0.9960 f32 on the full MSR-3c test split)
+            apply_fn = unet_apply_fn(model, backend="xla")
+            p_run = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+            kw = {"compute_dtype": jnp.bfloat16}
+        else:
+            kw_b = {"block_rows": block_rows} if backend == "pallas" else {}
+            apply_fn = unet_apply_fn(model, backend=backend, **kw_b)
+            p_run = params
+            kw = {}
 
         @jax.jit
         def run(cond, k):
-            y0, _ = cfg_sample(apply_fn, params, sched, cond, OMEGA, 3, key=k)
+            y0, _ = cfg_sample(apply_fn, p_run, sched, cond, OMEGA, 3, key=k,
+                               **kw)
             return y0
 
         rng = np.random.default_rng(0)
         cond = jnp.asarray(rng.uniform(0, 1, (B, 3)), jnp.float32)
         run(cond, jax.random.PRNGKey(1)).block_until_ready()  # compile+warmup
-        iters = 3
-        t0 = time.perf_counter()
-        for i in range(iters):
+        times = []
+        for i in range(5):
+            t0 = time.perf_counter()
             run(cond, jax.random.PRNGKey(2 + i)).block_until_ready()
-        return B / ((time.perf_counter() - t0) / iters)
+            times.append(time.perf_counter() - t0)
+        return B / float(np.median(times))
 
     import sys
     import traceback
 
     results = {}
     errors = []
-    for backend in ("xla", "pallas"):
+    for backend in ("xla", "xla_bf16", "pallas"):
         best = 0.0
         for B in (8192, 32768):
             try:
