@@ -33,6 +33,34 @@ def _unnorm_y(Y, config):
     return Y  # MSR labels are stored unscaled
 
 
+MSR_DECODE_TEMPS = (0.5, 1.0, 2.0, 4.0, 8.0, 16.0)
+
+
+def _decode_temp_selected(Y_raw, X_unnorm, config):
+    """Temperature-selected decode (framework extension): decode the raw
+    sample at several softmax temperatures and keep the best-rate one per
+    sample.  Decode-only candidates — one sampling pass, a handful of cheap
+    decodes.  The reference decoder is the t=1 member of the family.
+    Measured on MSR-80c: less ratio 0.8758 (t=1) -> 0.9200 (= 97% of the
+    waterfilling feasible optimum).
+    """
+    import jax
+
+    from ..ops.objectives import msr_sum_rate
+
+    W = config["W"]
+    Yn = (Y_raw - jnp.min(Y_raw)) / (jnp.max(Y_raw) - jnp.min(Y_raw))
+
+    def decode_at(t):
+        p = W * jax.nn.softmax(t * Yn, axis=1)
+        return p, msr_sum_rate(p, X_unnorm)
+
+    temps = jnp.asarray(MSR_DECODE_TEMPS, Y_raw.dtype)
+    ps, rates = jax.vmap(decode_at)(temps)
+    best = jnp.argmax(rates, axis=0)
+    return jnp.take_along_axis(ps, best[None, :, None], axis=0)[0]
+
+
 MSR = Task(
     name="msr",
     build_model=lambda cfg: unet_msr(cfg["M"]),
@@ -48,3 +76,10 @@ MSR = Task(
     train_config=TrainConfig(epochs=200, lr=5e-3, milestones=(100, 150)),
     default_omega=500.0,
 )
+
+
+import jax.numpy as jnp
+import dataclasses as _dc
+
+#: MSR with temperature-selected decode (see _decode_temp_selected).
+MSR_TEMP = _dc.replace(MSR, name="msr_temp", decode_with_x=_decode_temp_selected)

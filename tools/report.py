@@ -104,7 +104,7 @@ def run_ppo(task_name, data, task, ckpt):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", choices=["msr", "co", "co_analytic", "nu"], required=True)
+    ap.add_argument("--task", choices=["msr", "msr_temp", "co", "co_analytic", "nu"], required=True)
     ap.add_argument("--datasets", nargs="+", required=True)
     ap.add_argument("--ckpt", default=None, help="DDPM checkpoint dir")
     ap.add_argument("--omegas", type=float, nargs="+", default=[500.0])
