@@ -49,3 +49,24 @@ def test_best_of_n_improves(nu_setup):
     # batch-coupling noise)
     assert r4 >= r1 - 1e-3, (r1, r4)
     assert r4 > r1, (r1, r4)
+
+
+def test_msr_temp_decode_dominates_reference_decode(reference_path):
+    """Temperature selection can only improve the rate over the t=1
+    (reference) decode, per sample."""
+    from diffsg_tpu.tasks.msr import _decode_temp_selected
+    from diffsg_tpu.ops import msr_decode, msr_sum_rate
+    from diffsg_tpu.data import load_msr
+
+    td = load_msr(str(reference_path / "datasets" / "3c_10w_10000samples.csv"))
+    mn, mx = td.config["scaler_min"], td.config["scaler_max"]
+    rng = np.random.default_rng(0)
+    Y_raw = jnp.asarray(rng.normal(0, 2, (64, 3)), jnp.float32)
+    g = jnp.asarray(td.X_test[:64] * (mx - mn) + mn, jnp.float32)
+    W = td.config["W"]
+    base = msr_sum_rate(W * msr_decode(Y_raw), g)
+    sel = msr_sum_rate(_decode_temp_selected(Y_raw, g, td.config), g)
+    assert np.all(np.asarray(sel) >= np.asarray(base) - 1e-4)
+    # shares stay on the simplex
+    dec = _decode_temp_selected(Y_raw, g, td.config)
+    np.testing.assert_allclose(np.asarray(dec).sum(1), W, rtol=1e-4)
