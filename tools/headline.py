@@ -1,0 +1,81 @@
+"""Reproduce every headline quality number from docs/RESULTS.md in one run.
+
+For each task, loads the committed checkpoint and runs the tuned evaluation
+configuration (sampler settings exactly as documented), printing one JSON
+line per row.  Expected values (full test splits, TPU or CPU):
+
+  msr_3c      best-of-8 @ omega 500               -> less 0.9993
+  msr_80c     msr_temp decode, omega 1000          -> less 0.9200 (97% of
+              the waterfilling feasible optimum; labels are infeasible)
+  co          co_analytic, best-of-32, 8-omega mix -> exceeded 1.0026
+  co OOD      same                                 -> exceeded 1.0005
+  nu          best ckpt, best-of-32, 8-omega mix   -> less 1.267
+  nu OOD aug  augmented ckpt, single @ omega 2000  -> less 0.9058
+
+Usage:  python tools/headline.py [--tasks msr co nu msr80] [--cpu]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+REF = "/root/reference/datasets"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tasks", nargs="+",
+                    default=["msr", "msr80", "co", "nu"],
+                    choices=["msr", "msr80", "co", "nu"])
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    # NU quality is matmul-precision sensitive (~2% at omega=2000 between
+    # TPU-default bf16 matmuls and f32); pin f32 so numbers are
+    # reproducible across backends. MSR/CO are insensitive.
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from diffsg_tpu.tasks import TASKS, evaluate
+    from diffsg_tpu.utils import load_checkpoint
+
+    def row(name, task_key, ckpt, dataset, **kw):
+        task = TASKS[task_key]
+        ck = load_checkpoint(ckpt)
+        data = task.load(dataset)
+        m = evaluate(task, ck["params"], ck["sched"], data, **kw)
+        print(json.dumps({"row": name, **m}))
+
+    wide_mix = [10., 30., 100., 300., 1000., 3000., 5000., 10000.] * 4
+    nu_mix = [50., 150., 500., 1000., 2000., 5000., 10000., 20000.] * 4
+
+    if "msr" in args.tasks:
+        row("msr_3c best-of-8", "msr", "ckpts/ddpm_msr_3c",
+            f"{REF}/3c_10w_10000samples.csv", omega=500.0, best_of=8)
+    if "msr80" in args.tasks:
+        row("msr_80c temp-decode", "msr_temp", "ckpts/ddpm_msr_80c",
+            "datasets/80c_20w_10000samples.csv", omega=1000.0)
+    if "co" in args.tasks:
+        row("co analytic bo32", "co_analytic", "ckpts/ddpm_co",
+            "datasets/3nodes_50000samples_new.csv",
+            omega=wide_mix, best_of=len(wide_mix))
+        row("co OOD analytic bo32", "co_analytic", "ckpts/ddpm_co",
+            f"{REF}/3nodes_2000samples_ood.csv",
+            omega=wide_mix, best_of=len(wide_mix))
+    if "nu" in args.tasks:
+        row("nu bo32 mix", "nu", "ckpts/ddpm_nu_3u_best",
+            f"{REF}/3u_18mW_10000samples.csv",
+            omega=nu_mix, best_of=len(nu_mix))
+        row("nu OOD augmented", "nu", "ckpts/ddpm_nu_3u_aug",
+            f"{REF}/3u_30mW_1000samples_ood.csv", omega=2000.0)
+
+
+if __name__ == "__main__":
+    main()
