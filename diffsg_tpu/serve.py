@@ -43,12 +43,17 @@ class Solver:
     """
 
     def __init__(self, task: Task, params: Any, sched: Schedule,
-                 config: Dict, buckets: Optional[Sequence[int]] = None):
+                 config: Dict, buckets: Optional[Sequence[int]] = None,
+                 matmul_precision: Optional[str] = "highest"):
         self.task = task
         self.params = params
         self.sched = sched
         self.config = dict(config)
         self.buckets = sorted(buckets) if buckets else None
+        # NU-style tasks are sensitive to matmul precision at high guidance
+        # (~2% less-ratio between TPU-default bf16 matmuls and f32); traces
+        # are taken under this precision. None = backend default (faster).
+        self.matmul_precision = matmul_precision
         self._model = task.build_model(self.config)
         self._D = task.data_dim(self.config)
 
@@ -140,6 +145,15 @@ class Solver:
         cu = jnp.asarray(self.task.unnormalize_x(np.asarray(Xp), self.config),
                          jnp.float32)
         key = jax.random.PRNGKey(seed)
+        import contextlib
+
+        prec_ctx = (jax.default_matmul_precision(self.matmul_precision)
+                    if self.matmul_precision else contextlib.nullcontext())
+        with prec_ctx:
+            return self._dispatch(cond, cu, key, omega, best_of, sampler,
+                                  n_steps)[:n]
+
+    def _dispatch(self, cond, cu, key, omega, best_of, sampler, n_steps):
         if sampler == "ddim":
             if best_of > 1:
                 raise NotImplementedError("best_of with ddim: draw manually")
@@ -151,4 +165,4 @@ class Solver:
             omegas = (np.full(best_of, omega, np.float32) if np.isscalar(omega)
                       else np.asarray(omega, np.float32))
             out = self._best_of(cond, cu, key, jnp.asarray(omegas))
-        return np.asarray(out)[:n]
+        return np.asarray(out)

@@ -132,6 +132,9 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    # NU sampling quality is matmul-precision sensitive; pin f32 so rows are
+    # comparable across backends (see docs/RESULTS.md "Reproduction").
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     from diffsg_tpu.tasks import TASKS, evaluate
     from diffsg_tpu.utils import MetricsLogger, load_checkpoint
