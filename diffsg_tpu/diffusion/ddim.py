@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .schedule import Schedule
-from .ddpm import ApplyFn
+from .ddpm import ApplyFn, masked_mean_var
 
 
 def respaced_steps(T: int, n_steps: int) -> np.ndarray:
@@ -43,11 +43,14 @@ def ddim_sample(
     eta: float = 0.0,
     init_noise: Optional[jnp.ndarray] = None,
     renorm_steps: int = 4,
+    valid_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, None]:
     """CFG-guided DDIM over a respaced timestep sub-sequence.
 
     eta=0 is fully deterministic given ``init_noise``; eta=1 recovers
-    DDPM-like stochasticity on the sub-sequence.
+    DDPM-like stochasticity on the sub-sequence.  ``valid_mask`` (B, 1)
+    restricts the early-step re-standardization statistics to real rows
+    (serving bucket padding) — see :func:`diffusion.ddpm.masked_mean_var`.
     """
     B = cond.shape[0]
     T = sched.T
@@ -90,8 +93,11 @@ def ddim_sample(
         dir_coeff = jnp.sqrt(jnp.maximum(1.0 - ap - sigma**2, 0.0))
         y_next = jnp.sqrt(ap) * y0_pred + dir_coeff * eps + sigma * z
 
-        mean = jnp.mean(y_next)
-        var = jnp.var(y_next, ddof=1)
+        if valid_mask is None:
+            mean = jnp.mean(y_next)
+            var = jnp.var(y_next, ddof=1)
+        else:
+            mean, var = masked_mean_var(y_next, valid_mask)
         y_renorm = (y_next - mean) / jnp.sqrt(var)
         return jnp.where(i < renorm_steps, y_renorm, y_next), None
 

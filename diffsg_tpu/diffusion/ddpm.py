@@ -101,6 +101,20 @@ class SampleTrace(NamedTuple):
     eps: jnp.ndarray  # (T, B, D)
 
 
+def masked_mean_var(y: jnp.ndarray, valid_mask: jnp.ndarray):
+    """Mean / unbiased variance over the valid rows only.
+
+    ``valid_mask`` is (B, 1) with 1.0 on real rows, 0.0 on padding.  With an
+    all-ones mask this equals ``jnp.mean`` / ``jnp.var(ddof=1)`` up to fp
+    reduction order.  Used by serving's bucket padding so pad rows cannot
+    perturb the reference's batch-global re-standardization.
+    """
+    cnt = jnp.sum(valid_mask) * y.shape[1]
+    mean = jnp.sum(y * valid_mask) / cnt
+    var = jnp.sum(valid_mask * (y - mean) ** 2) / (cnt - 1.0)
+    return mean, var
+
+
 def _reverse_step(
     sched: Schedule,
     y_t: jnp.ndarray,
@@ -109,6 +123,7 @@ def _reverse_step(
     z: jnp.ndarray,
     T: int,
     renorm_steps: int,
+    valid_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """One reverse-diffusion update with the reference's exact coefficients."""
     prev = jnp.maximum(i - 1, 0)
@@ -118,8 +133,11 @@ def _reverse_step(
 
     # Early-step re-standardization over the whole batch tensor, unbiased
     # variance (torch.var default).  Reference: classifier_free_MSR.py:136-137.
-    mean = jnp.mean(y_next)
-    var = jnp.var(y_next, ddof=1)
+    if valid_mask is None:
+        mean = jnp.mean(y_next)
+        var = jnp.var(y_next, ddof=1)
+    else:
+        mean, var = masked_mean_var(y_next, valid_mask)
     y_renorm = (y_next - mean) / jnp.sqrt(var)
     return jnp.where(i > T - 1 - renorm_steps, y_renorm, y_next)
 
@@ -137,6 +155,7 @@ def cfg_sample(
     renorm_steps: int = 4,
     record_trace: bool = False,
     compute_dtype: Optional[jnp.dtype] = None,
+    valid_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[SampleTrace]]:
     """Batched CFG reverse sampler as a single ``lax.scan``.
 
@@ -156,6 +175,9 @@ def cfg_sample(
       compute_dtype: optional lower-precision dtype (e.g. bfloat16) for the
         denoiser forward; the CFG combine and the posterior update stay f32.
         Pass params already cast to the same dtype for full effect.
+      valid_mask: optional (B, 1) 1.0/0.0 mask; when given, the early-step
+        re-standardization statistics are computed over the valid rows only
+        (serving bucket padding — pad rows must not perturb real rows).
 
     Returns ``(y_0, trace_or_None)``.
     """
@@ -198,7 +220,8 @@ def cfg_sample(
         eps_uncond, eps_cond = eps2[:B], eps2[B:]
         eps_cfg = (1.0 + omega) * eps_cond - omega * eps_uncond
         z = jnp.where(i > 1, z, jnp.zeros_like(z))
-        y_next = _reverse_step(sched, y_t, i, eps_cfg, z, T, renorm_steps)
+        y_next = _reverse_step(sched, y_t, i, eps_cfg, z, T, renorm_steps,
+                               valid_mask)
         out = (y_next, eps_cfg) if record_trace else None
         return y_next, out
 

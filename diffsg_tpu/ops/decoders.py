@@ -8,20 +8,40 @@ reference ``classifier_free_MSR.py:239-245`` and ``classifier_free_NU.py:
 interacts with the omega=500 guidance scale) and is reproduced exactly; it
 also means decoding must happen over the same batch grouping as the
 reference eval (batch 512) for bit-level parity.
+
+``valid_mask`` (B, 1, 1.0 real / 0.0 pad) restricts the global reductions to
+real rows, so serving's bucket padding cannot shift results at bucket
+boundaries.  ``None`` (the default) is the exact legacy whole-tensor path.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 
-def msr_decode(Y: jnp.ndarray) -> jnp.ndarray:
+def masked_min_max(Y: jnp.ndarray, valid_mask: jnp.ndarray):
+    """Global min/max over rows where ``valid_mask`` > 0."""
+    big = jnp.asarray(jnp.finfo(Y.dtype).max, Y.dtype)
+    keep = valid_mask > 0
+    mn = jnp.min(jnp.where(keep, Y, big))
+    mx = jnp.max(jnp.where(keep, Y, -big))
+    return mn, mx
+
+
+def msr_decode(Y: jnp.ndarray,
+               valid_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Batch-global min-max, then per-row softmax (``classifier_free_MSR.py:239-245``).
 
     Final powers are ``W * msr_decode(Y)`` (applied by the task harness).
     """
-    Yn = (Y - jnp.min(Y)) / (jnp.max(Y) - jnp.min(Y))
+    if valid_mask is None:
+        mn, mx = jnp.min(Y), jnp.max(Y)
+    else:
+        mn, mx = masked_min_max(Y, valid_mask)
+    Yn = (Y - mn) / (mx - mn)
     return jax.nn.softmax(Yn, axis=1)
 
 
@@ -33,11 +53,16 @@ def co_decode(Y: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(all_local, 0.0, dec)
 
 
-def nu_decode(Y: jnp.ndarray, width: float, height: float, P_sum: float) -> jnp.ndarray:
+def nu_decode(Y: jnp.ndarray, width: float, height: float, P_sum: float,
+              valid_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """UAV coords: min-max over the whole (B, 2) coordinate slice, scaled to
     the area; powers: per-row softmax * P_sum (``classifier_free_NU.py:267-276``)."""
     xy = Y[:, :2]
-    xy = (xy - jnp.min(xy)) / (jnp.max(xy) - jnp.min(xy))
+    if valid_mask is None:
+        mn, mx = jnp.min(xy), jnp.max(xy)
+    else:
+        mn, mx = masked_min_max(xy, valid_mask)
+    xy = (xy - mn) / (mx - mn)
     xy = xy * jnp.asarray([width, height], dtype=Y.dtype)[None, :]
     P = jax.nn.softmax(Y[:, 2:], axis=1) * P_sum
     return jnp.concatenate([xy, P], axis=1)

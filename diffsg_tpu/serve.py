@@ -35,11 +35,12 @@ class Solver:
 
     ``buckets``: optional batch-size buckets.  When set, conditions are
     padded up to the nearest bucket so repeated calls with varying sizes
-    reuse a handful of compiled programs — BUT the sampler's early-step
-    re-standardization and the MSR/NU decoders are batch-global, so pad rows
-    perturb the real rows slightly and results shift at bucket boundaries.
-    The default (None) compiles per distinct batch size and matches
-    tasks.base.evaluate exactly.
+    reuse a handful of compiled programs.  The sampler's early-step
+    re-standardization and the MSR/NU decoders are batch-global, so a
+    validity mask is threaded through both: pad rows are excluded from every
+    global reduction, and bucketed results equal unbucketed ones exactly
+    (tested: tests/test_serve.py bucket-invariance).  The default (None)
+    compiles per distinct batch size and matches tasks.base.evaluate exactly.
     """
 
     def __init__(self, task: Task, params: Any, sched: Schedule,
@@ -60,34 +61,66 @@ class Solver:
         def apply_fn(p, y, t, c, m):
             return self._model.apply({"params": p}, y, t, c, m)
 
-        def _decode(y0, cond_unnorm):
+        def _decode(y0, cond_unnorm, valid):
+            # valid_mask is passed only in bucket mode so task plugins whose
+            # decoders lack the kwarg still work bucket-less.
+            kw = {} if valid is None else {"valid_mask": valid}
             if self.task.decode_with_x is not None:
-                return self.task.decode_with_x(y0, cond_unnorm, self.config)
-            return self.task.decode(y0, self.config)
+                return self.task.decode_with_x(y0, cond_unnorm, self.config,
+                                               **kw)
+            return self.task.decode(y0, self.config, **kw)
 
-        def _single(cond, cond_unnorm, key, omega):
+        def _draw_noise(key, B):
+            # Row-major layout: row r's noise is a function of (key, r) only,
+            # independent of the batch size (jax.random fills the flattened
+            # array by counter, so a (B, T+1, D) draw is row-prefix-stable).
+            # This is what makes bucket padding invisible: a padded batch
+            # gives every real row the exact same noise as an unpadded one.
+            flat = jax.random.normal(key, (B, self.sched.T + 1, self._D),
+                                     jnp.float32)
+            return flat[:, 0, :], jnp.transpose(flat[:, 1:, :], (1, 0, 2))
+
+        # `valid` is None (legacy whole-batch semantics, no buckets) or a
+        # (B, 1) 1.0/0.0 mask excluding pad rows from batch-global reductions.
+        def _single(cond, cond_unnorm, key, omega, valid):
+            init, steps = _draw_noise(key, cond.shape[0])
             y0, _ = cfg_sample(apply_fn, self.params, self.sched, cond,
-                               omega, self._D, key=key)
-            return _decode(y0, cond_unnorm)
+                               omega, self._D, init_noise=init,
+                               step_noise=steps, valid_mask=valid)
+            return _decode(y0, cond_unnorm, valid)
 
-        def _single_ddim(cond, cond_unnorm, key, omega, n_steps):
+        def _single_ddim(cond, cond_unnorm, key, omega, n_steps, valid):
             y0, _ = ddim_sample(apply_fn, self.params, self.sched, cond,
-                                omega, self._D, key=key, n_steps=n_steps)
-            return _decode(y0, cond_unnorm)
+                                omega, self._D, key=key, n_steps=n_steps,
+                                valid_mask=valid)
+            return _decode(y0, cond_unnorm, valid)
 
-        def _best_of(cond, cond_unnorm, key, omegas):
+        def _pick(cond, cond_unnorm, key, omegas, valid, draw):
             keys = jax.random.split(key, omegas.shape[0])
 
             def one(k, w):
-                dec = _single(cond, cond_unnorm, k, w)
+                dec = draw(cond, cond_unnorm, k, w, valid)
                 return dec, self.task.objective(dec, cond_unnorm, self.config)
 
             decs, scores = jax.vmap(one)(keys, omegas)
             return select_best(decs, scores, self.task.higher_is_better)
 
+        def _best_of(cond, cond_unnorm, key, omegas, valid):
+            return _pick(cond, cond_unnorm, key, omegas, valid, _single)
+
+        def _best_of_ddim(cond, cond_unnorm, key, omegas, n_steps, valid):
+            # DDIM is deterministic per init noise; candidate diversity comes
+            # from per-candidate init noise (keys) and the omega mixture.
+            def draw(c, cu, k, w, v):
+                return _single_ddim(c, cu, k, w, n_steps, v)
+
+            return _pick(cond, cond_unnorm, key, omegas, valid, draw)
+
         self._single = jax.jit(_single)
         self._single_ddim = jax.jit(_single_ddim, static_argnames=("n_steps",))
         self._best_of = jax.jit(_best_of)
+        self._best_of_ddim = jax.jit(_best_of_ddim,
+                                     static_argnames=("n_steps",))
 
     @classmethod
     def from_checkpoint(cls, ckpt_dir: str, task: str,
@@ -124,8 +157,9 @@ class Solver:
         C = self.task.cond_dim(self.config)
         for b in (sizes or self.buckets or ()):
             z = jnp.zeros((b, C), jnp.float32)
+            valid = jnp.ones((b, 1), jnp.float32) if self.buckets else None
             self._single(z, z, jax.random.PRNGKey(0),
-                         jnp.float32(om)).block_until_ready()
+                         jnp.float32(om), valid).block_until_ready()
 
     def solve(self, X: np.ndarray, omega=None,
               best_of: int = 1, seed: int = 0,
@@ -144,6 +178,13 @@ class Solver:
         cond = jnp.asarray(Xp, jnp.float32)
         cu = jnp.asarray(self.task.unnormalize_x(np.asarray(Xp), self.config),
                          jnp.float32)
+        # When bucketing, always pass a mask (even at pad=0) so every call in
+        # a bucket shares one compiled program; without buckets, pass None so
+        # the trace matches tasks.base.evaluate bit for bit.
+        valid = None
+        if self.buckets:
+            valid = jnp.asarray(
+                (np.arange(b) < n).astype(np.float32)[:, None])
         key = jax.random.PRNGKey(seed)
         import contextlib
 
@@ -151,18 +192,24 @@ class Solver:
                     if self.matmul_precision else contextlib.nullcontext())
         with prec_ctx:
             return self._dispatch(cond, cu, key, omega, best_of, sampler,
-                                  n_steps)[:n]
+                                  n_steps, valid)[:n]
 
-    def _dispatch(self, cond, cu, key, omega, best_of, sampler, n_steps):
+    def _dispatch(self, cond, cu, key, omega, best_of, sampler, n_steps,
+                  valid):
+        single = best_of <= 1 and np.isscalar(omega)
+        if not single:
+            omegas = jnp.asarray(
+                np.full(best_of, omega, np.float32) if np.isscalar(omega)
+                else np.asarray(omega, np.float32))
         if sampler == "ddim":
-            if best_of > 1:
-                raise NotImplementedError("best_of with ddim: draw manually")
-            out = self._single_ddim(cond, cu, key, jnp.float32(omega),
-                                    n_steps or self.sched.T)
-        elif best_of <= 1 and np.isscalar(omega):
-            out = self._single(cond, cu, key, jnp.float32(omega))
+            steps = n_steps or self.sched.T
+            if single:
+                out = self._single_ddim(cond, cu, key, jnp.float32(omega),
+                                        steps, valid)
+            else:
+                out = self._best_of_ddim(cond, cu, key, omegas, steps, valid)
+        elif single:
+            out = self._single(cond, cu, key, jnp.float32(omega), valid)
         else:
-            omegas = (np.full(best_of, omega, np.float32) if np.isscalar(omega)
-                      else np.asarray(omega, np.float32))
-            out = self._best_of(cond, cu, key, jnp.asarray(omegas))
+            out = self._best_of(cond, cu, key, omegas, valid)
         return np.asarray(out)

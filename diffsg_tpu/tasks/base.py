@@ -26,8 +26,10 @@ from ..train.trainer import TrainConfig
 class Task:
     """One network-optimization problem plugged into the generic engine.
 
-    ``decode(Y_raw, config)``: raw sampler output -> feasible solutions
-      (unnormalized, ready for the objective).
+    ``decode(Y_raw, config, valid_mask=None)``: raw sampler output ->
+      feasible solutions (unnormalized, ready for the objective).  The
+      optional ``valid_mask`` (B, 1) excludes serving pad rows from any
+      batch-global reductions (see ops.decoders).
     ``objective(Y_dec, X_unnorm, config)``: per-sample objective values.
     ``unnormalize_x/y``: loader-scaled arrays -> physical units.
     ``higher_is_better``: rate-maximization (MSR, NU) vs cost-minimization (CO).

@@ -18,8 +18,8 @@ from ..train.trainer import TrainConfig
 from .base import Task
 
 
-def _decode(Y_raw, config):
-    return co_decode(Y_raw)
+def _decode(Y_raw, config, valid_mask=None):
+    return co_decode(Y_raw)  # per-row decode: pads cannot leak across rows
 
 
 def _objective(Y_dec, X_unnorm, config):
@@ -51,9 +51,9 @@ def _extra_metrics(Y_dec, Y_true, pred_cost, true_cost, config):
     }
 
 
-def _decode_analytic(Y_raw, X_unnorm, config):
+def _decode_analytic(Y_raw, X_unnorm, config, valid_mask=None):
     """Decision from the sampler, allocation from the closed-form optimum
-    (baselines.co_exact.co_analytic_decode)."""
+    (baselines.co_exact.co_analytic_decode).  Per-row: mask unused."""
     from ..baselines.co_exact import co_analytic_decode
 
     return co_analytic_decode(Y_raw, X_unnorm)

@@ -16,8 +16,8 @@ from ..train.trainer import TrainConfig
 from .base import Task
 
 
-def _decode(Y_raw, config):
-    return config["W"] * msr_decode(Y_raw)
+def _decode(Y_raw, config, valid_mask=None):
+    return config["W"] * msr_decode(Y_raw, valid_mask)
 
 
 def _objective(Y_dec, X_unnorm, config):
@@ -36,7 +36,7 @@ def _unnorm_y(Y, config):
 MSR_DECODE_TEMPS = (0.5, 1.0, 2.0, 4.0, 8.0, 16.0)
 
 
-def _decode_temp_selected(Y_raw, X_unnorm, config):
+def _decode_temp_selected(Y_raw, X_unnorm, config, valid_mask=None):
     """Temperature-selected decode (framework extension): decode the raw
     sample at several softmax temperatures and keep the best-rate one per
     sample.  Decode-only candidates — one sampling pass, a handful of cheap
@@ -48,8 +48,14 @@ def _decode_temp_selected(Y_raw, X_unnorm, config):
 
     from ..ops.objectives import msr_sum_rate
 
+    from ..ops.decoders import masked_min_max
+
     W = config["W"]
-    Yn = (Y_raw - jnp.min(Y_raw)) / (jnp.max(Y_raw) - jnp.min(Y_raw))
+    if valid_mask is None:
+        mn, mx = jnp.min(Y_raw), jnp.max(Y_raw)
+    else:
+        mn, mx = masked_min_max(Y_raw, valid_mask)
+    Yn = (Y_raw - mn) / (mx - mn)
 
     def decode_at(t):
         p = W * jax.nn.softmax(t * Yn, axis=1)

@@ -16,8 +16,9 @@ from ..train.trainer import TrainConfig
 from .base import Task
 
 
-def _decode(Y_raw, config):
-    return nu_decode(Y_raw, config["width"], config["height"], config["P_sum"])
+def _decode(Y_raw, config, valid_mask=None):
+    return nu_decode(Y_raw, config["width"], config["height"], config["P_sum"],
+                     valid_mask)
 
 
 def _objective(Y_dec, X_unnorm, config):

@@ -51,6 +51,52 @@ def test_solve_best_of(solver, reference_path):
     assert r4 >= r1
 
 
+def test_bucket_boundary_invariance(solver, reference_path):
+    """Padding to any bucket (or none) must not change the real rows.
+
+    The validity mask keeps pad rows out of the sampler's batch-global
+    re-standardization and the decoder's global min/max, and serving noise
+    is drawn row-major so a row's noise is independent of batch size —
+    together: bucketed == unbucketed (up to fp reduction order).
+    """
+    td = load_nu(str(reference_path / "datasets" / "3u_18mW_10000samples.csv"))
+    X = td.X_test[:20]
+    cfg = dict(K=3, P_sum=18.0, width=400.0, height=400.0)
+    pt = str(reference_path / "ckpts" / "ddpm_nu_3u.pt")
+    s32 = Solver.from_torch_checkpoint(pt, task="nu", dataset_config=cfg,
+                                       buckets=(32,))
+    s128 = Solver.from_torch_checkpoint(pt, task="nu", dataset_config=cfg,
+                                        buckets=(128,))
+    s_none = Solver.from_torch_checkpoint(pt, task="nu", dataset_config=cfg)
+    y32 = s32.solve(X, seed=7)
+    y128 = s128.solve(X, seed=7)
+    y_plain = s_none.solve(X, seed=7)
+    # Not bitwise: the batch-stat reductions associate differently per batch
+    # shape and omega=500 amplifies last-ulp differences.  Measured residual
+    # is ~1e-3 absolute on 400-scale outputs (vs O(10) shifts before the
+    # masking fix, when pad rows entered the global stats).
+    np.testing.assert_allclose(y32, y128, rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(y32, y_plain, rtol=1e-3, atol=1e-2)
+    # ddim path: same invariance
+    d32 = s32.solve(X, sampler="ddim", n_steps=10, seed=7)
+    d_plain = s_none.solve(X, sampler="ddim", n_steps=10, seed=7)
+    np.testing.assert_allclose(d32, d_plain, rtol=1e-3, atol=1e-2)
+
+
+def test_best_of_with_ddim(solver, reference_path):
+    """best_of composes with the DDIM sampler (VERDICT r1 item 5)."""
+    td = load_nu(str(reference_path / "datasets" / "3u_18mW_10000samples.csv"))
+    X = td.X_test[:32]
+    y = solver.solve(X, omega=[150, 500, 2000], best_of=3,
+                     sampler="ddim", n_steps=10, seed=5)
+    assert y.shape == (32, 5)
+    np.testing.assert_allclose(y[:, 2:].sum(1), 18.0, rtol=1e-4)
+    # deterministic per seed (eta=0 DDIM + fixed candidate keys)
+    y2 = solver.solve(X, omega=[150, 500, 2000], best_of=3,
+                      sampler="ddim", n_steps=10, seed=5)
+    np.testing.assert_array_equal(y, y2)
+
+
 def test_solve_ddim_and_mixture(solver, reference_path):
     td = load_nu(str(reference_path / "datasets" / "3u_18mW_10000samples.csv"))
     X = td.X_test[:32]
