@@ -175,3 +175,103 @@ def test_waterfilling_is_optimal(msr_data):
     for i in range(8):
         lv = mu[i][act[i]]
         np.testing.assert_allclose(lv, lv[0], rtol=1e-4)
+
+
+# --- GEKKO oracle: executed via the scipy backend --------------------------------
+
+
+def test_gekko_msr_scipy_matches_waterfilling(msr_data):
+    """The MSR NLP formulation, actually solved: must hit the exact
+    waterfilling optimum (published IPOPT ratio: 1.0000000003)."""
+    from diffsg_tpu.baselines.gekko_oracle import msr_solve_scipy
+    from diffsg_tpu.baselines.waterfilling import waterfilling
+
+    td = msr_data
+    mn, mx = td.config["scaler_min"], td.config["scaler_max"]
+    W = td.config["W"]
+    G = td.X_test[:5] * (mx - mn) + mn
+    P = np.stack([msr_solve_scipy(g, W) for g in G])
+    np.testing.assert_allclose(P.sum(1), W, rtol=1e-8)
+    wf = np.asarray(waterfilling(jnp.asarray(G, jnp.float32), W))
+    r_slsqp = np.asarray(msr_sum_rate(jnp.asarray(P, jnp.float32),
+                                      jnp.asarray(G, jnp.float32)))
+    r_wf = np.asarray(msr_sum_rate(jnp.asarray(wf, jnp.float32),
+                                   jnp.asarray(G, jnp.float32)))
+    # SLSQP reaches the exact optimum (the lb=0.01 box off the true
+    # waterfilling solution costs < 1e-4 relative)
+    assert (r_slsqp.sum() / r_wf.sum()) > 1.0 - 1e-4
+    # and beats the dataset labels like the published 1.0000000003
+    ratio = float(r_slsqp.sum()
+                  / np.asarray(msr_sum_rate(jnp.asarray(td.Y_test[:5], jnp.float32),
+                                            jnp.asarray(G, jnp.float32))).sum())
+    assert ratio > 0.9999
+
+
+def test_gekko_co_scipy_exact_vs_labels(reference_path):
+    """The CO MINLP formulation, solved exactly by decision enumeration:
+    labels are min-cost, so exceeded ratio == 1 (published APOPT: 1.005359,
+    i.e. branch-and-bound leaves ~0.5% on the table)."""
+    from diffsg_tpu.baselines.gekko_oracle import co_solve_scipy, PUBLISHED
+
+    td = load_co("datasets/3nodes_50000samples_new.csv")
+    mn, mx = td.config["scaler_min"], td.config["scaler_max"]
+    X = td.X_test[:20] * (mx - mn) + mn
+    Y = np.stack([co_solve_scipy(x) for x in X])
+    pred = np.asarray(co_cost(jnp.asarray(X, jnp.float32),
+                              jnp.asarray(Y, jnp.float32)))
+    true = np.asarray(co_cost(jnp.asarray(X, jnp.float32),
+                              jnp.asarray(td.Y_test[:20], jnp.float32)))
+    ratio = float(pred.sum() / true.sum())
+    assert abs(ratio - 1.0) < 1e-5
+    assert ratio <= PUBLISHED["co"]["exceeded_ratio"]
+
+
+def test_gekko_nu_scipy_correct_scale_beats_published(nu_data):
+    """The NU NLP on correctly-scaled (meter) coordinates lands near the
+    oracle labels — the published 0.485 is the reference's coordinate-
+    scaling quirk, not the formulation's ceiling."""
+    from diffsg_tpu.baselines.gekko_oracle import nu_solve_scipy
+
+    td = nu_data
+    cfg = td.config
+    n = 4
+    X = np.array(td.X_test[:n])
+    X[:, 0::2] *= cfg["width"]
+    X[:, 1::2] *= cfg["height"]
+    Y = np.stack([nu_solve_scipy(x, cfg["P_sum"]) for x in X])
+    np.testing.assert_allclose(Y[:, 2:].sum(1), cfg["P_sum"], rtol=1e-6)
+    Yt = np.array(td.Y_test[:n])
+    Yt[:, 0] *= cfg["width"]
+    Yt[:, 1] *= cfg["height"]
+    Yt[:, 2:] *= cfg["P_sum"]
+    pred = np.asarray(nu_rate(jnp.asarray(Y, jnp.float32),
+                              jnp.asarray(X, jnp.float32)))
+    true = np.asarray(nu_rate(jnp.asarray(Yt, jnp.float32),
+                              jnp.asarray(X, jnp.float32)))
+    assert pred.sum() / true.sum() > 0.95
+
+
+def test_gekko_nu_scipy_reproduces_published_misscaling(nu_data):
+    """Feeding loader-normalized 0..1 coordinates (exactly what the
+    reference's sBB_nu does, GEKKO.py:160) collapses the less ratio to
+    ~0.5 — reproducing the published 0.485004."""
+    from diffsg_tpu.baselines.gekko_oracle import nu_solve_scipy
+
+    td = nu_data
+    cfg = td.config
+    n = 4
+    Xn = np.array(td.X_test[:n])              # normalized, as the reference
+    Y = np.stack([nu_solve_scipy(x, cfg["P_sum"]) for x in Xn])
+    X = np.array(td.X_test[:n])
+    X[:, 0::2] *= cfg["width"]
+    X[:, 1::2] *= cfg["height"]
+    Yt = np.array(td.Y_test[:n])
+    Yt[:, 0] *= cfg["width"]
+    Yt[:, 1] *= cfg["height"]
+    Yt[:, 2:] *= cfg["P_sum"]
+    pred = np.asarray(nu_rate(jnp.asarray(Y, jnp.float32),
+                              jnp.asarray(X, jnp.float32)))
+    true = np.asarray(nu_rate(jnp.asarray(Yt, jnp.float32),
+                              jnp.asarray(X, jnp.float32)))
+    ratio = pred.sum() / true.sum()
+    assert 0.3 < ratio < 0.7, ratio
