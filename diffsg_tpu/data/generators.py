@@ -295,6 +295,28 @@ def sum_rate_gen(sample_num: int, M: int = 3, g_range=(0.5, 2.5), W: float = 10.
     return gs, rates, schemes
 
 
+def msr_waterfilling_labels(gs: np.ndarray, W: float):
+    """Exact feasible MSR labels: NumPy waterfilling (twin of the jitted
+    ``baselines/waterfilling.py``; equality tested in tests/test_generators).
+
+    The reference's LRH labels (``sum_rate_gen``) go infeasible at 80
+    channels (22% negative powers — see docs/RESULTS.md); training on these
+    projected labels gives the model a feasible, exactly-optimal target.
+    Returns (rates (n,), schemes (n, M)) with schemes >= 0, sum = W.
+    """
+    inv = 1.0 / gs
+    inv_sorted = np.sort(inv, axis=1)
+    csum = np.cumsum(inv_sorted, axis=1)
+    k = np.arange(1, gs.shape[1] + 1, dtype=gs.dtype)[None, :]
+    mu_k = (W + csum) / k
+    valid = mu_k > inv_sorted
+    k_star = valid.sum(axis=1) - 1
+    mu = np.take_along_axis(mu_k, k_star[:, None], axis=1)
+    schemes = np.maximum(mu - inv, 0.0)
+    rates = np.sum(np.log2(1.0 + schemes * gs), axis=1)
+    return rates, schemes
+
+
 def write_msr_csv(path: str, gs, rates, schemes) -> None:
     np.savetxt(path, np.concatenate([gs, rates[:, None], schemes], axis=1),
                delimiter=",")

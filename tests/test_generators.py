@@ -105,3 +105,21 @@ def test_nu_dataset_extension_preserves_rates():
     rec = np.asarray(nu_rate(jnp.asarray(Y, jnp.float32), jnp.asarray(q, jnp.float32)))
     # rigid motions preserve distances -> rates unchanged
     np.testing.assert_allclose(rec, ext[:, -1], rtol=1e-3)
+
+
+def test_msr_waterfilling_labels_match_jax_oracle():
+    """NumPy label generator == the jitted waterfilling baseline."""
+    import jax.numpy as jnp
+
+    from diffsg_tpu.baselines.waterfilling import waterfilling
+    from diffsg_tpu.data.generators import msr_waterfilling_labels
+
+    rng = np.random.default_rng(3)
+    gs = rng.uniform(0.5, 2.5, size=(64, 80))
+    rates, schemes = msr_waterfilling_labels(gs, 20.0)
+    wf = np.asarray(waterfilling(jnp.asarray(gs, jnp.float64)
+                                 if jnp.asarray(gs).dtype == jnp.float64
+                                 else jnp.asarray(gs, jnp.float32), 20.0))
+    np.testing.assert_allclose(schemes, wf, atol=1e-5)
+    assert (schemes >= 0).all()
+    np.testing.assert_allclose(schemes.sum(1), 20.0, rtol=1e-9)

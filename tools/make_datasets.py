@@ -41,6 +41,10 @@ def main():
     msr.add_argument("--gmin", type=float, default=0.5)
     msr.add_argument("--gmax", type=float, default=2.5)
     msr.add_argument("--seed", type=int, default=0)
+    msr.add_argument("--labels", choices=["lrh", "wf"], default="lrh",
+                     help="lrh = reference gradient-ascent labels; wf = "
+                          "exact feasible waterfilling labels (same gains "
+                          "for the same seed)")
     msr.add_argument("--out", required=True)
 
     nu = sub.add_parser("nu")
@@ -66,11 +70,18 @@ def main():
         np.savetxt(out, data, delimiter=",")
 
     elif args.task == "msr":
-        from diffsg_tpu.data.generators import sum_rate_gen, write_msr_csv
+        from diffsg_tpu.data.generators import (
+            msr_waterfilling_labels, sum_rate_gen, write_msr_csv)
 
-        gs, rates, schemes = sum_rate_gen(
-            args.samples, args.channels, (args.gmin, args.gmax), args.power,
-            args.seed)
+        if args.labels == "wf":
+            rng = np.random.default_rng(args.seed)
+            gs = rng.uniform(args.gmin, args.gmax,
+                             size=(args.samples, args.channels))
+            rates, schemes = msr_waterfilling_labels(gs, args.power)
+        else:
+            gs, rates, schemes = sum_rate_gen(
+                args.samples, args.channels, (args.gmin, args.gmax),
+                args.power, args.seed)
         write_msr_csv(str(out), gs, rates, schemes)
 
     elif args.task == "nu":
