@@ -13,8 +13,20 @@ Prints ONE JSON line:
 vs_baseline is measured against the north-star target of 10k solutions/s on
 one v5e chip at T=100 (BASELINE.md; the torch reference measures ~230
 solutions/s on CPU at T=20 for this model, i.e. ~46/s at T=100).
+Extra fields: "mfu" (analytic matmul FLOPs/solution over the v5e bf16 peak),
+"per_task" (NU/CO throughput at their reference T=20 protocol when their
+checkpoints are present).
+
+Flags (driver uses none of them):
+  --mesh dp=N[,tp=M]  shard the batch over an N-way dp mesh
+                      (parallel/mesh.py); requires N*M visible devices —
+                      use XLA_FLAGS=--xla_force_host_platform_device_count
+                      with --cpu to validate without hardware.
+  --cpu               pin the CPU platform (virtual-mesh validation).
+  --batch/--T/--backends/--no-per-task   size overrides for smoke runs.
 """
 
+import argparse
 import json
 import time
 
@@ -23,22 +35,37 @@ import numpy as np
 TARGET_SOLUTIONS_PER_SEC = 10_000.0
 T = 100
 OMEGA = 500.0
+# Public TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip.
+V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def main():
+def analytic_flops_per_solution(params, n_steps: int) -> float:
+    """Matmul FLOPs (2/MAC) per decoded solution at large batch.
+
+    Each denoise step is one folded 2-row forward per solution (CFG pair).
+    Kernels named ``time_emb`` (the TimeEmbedding MLP and the per-block time
+    projections) run at batch 1 per step — the batch-constant time trick in
+    diffusion/ddpm.py — so they amortize to ~0 per solution and are excluded.
+    LayerNorm/softmax/elementwise FLOPs are ignored (<<1% here).
+    """
     import jax
-    import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    per_row = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        names = [getattr(p, "key", str(p)) for p in path]
+        if names[-1] == "kernel" and leaf.ndim == 2:
+            if any("time_emb" in n for n in names[:-1]):
+                continue
+            per_row += 2 * leaf.shape[0] * leaf.shape[1]
+    return float(n_steps * 2 * per_row)
+
+
+def _load_flagship(jnp, jax):
+    import pathlib
 
     from diffsg_tpu.models import unet_msr
-    from diffsg_tpu.diffusion import cfg_sample, cosine_schedule
+    from diffsg_tpu.diffusion import cosine_schedule
     from diffsg_tpu.train import torch_style_init
-
-    from diffsg_tpu.models.unet1d_pallas import unet_apply_fn
-
-    import pathlib
 
     model = unet_msr(3)
     ckpt = pathlib.Path(__file__).parent / "ckpts" / "ddpm_msr_3c_T100"
@@ -46,15 +73,131 @@ def main():
         from diffsg_tpu.utils import load_checkpoint
 
         ck = load_checkpoint(str(ckpt))
-        params, sched = ck["params"], ck["sched"]
-        weights = "trained(T100, less_ratio 0.9957)"
-    else:
-        key = jax.random.PRNGKey(0)
-        variables = model.init(key, jnp.zeros((1, 3)), jnp.zeros((1,)),
-                               jnp.zeros((1, 3)), jnp.ones((1, 1)))
-        params = torch_style_init(variables["params"], key)
-        sched = cosine_schedule(T)
-        weights = "random"
+        return model, ck["params"], ck["sched"], "trained(T100, less_ratio 0.9957)"
+    key = jax.random.PRNGKey(0)
+    variables = model.init(key, jnp.zeros((1, 3)), jnp.zeros((1,)),
+                           jnp.zeros((1, 3)), jnp.ones((1, 1)))
+    params = torch_style_init(variables["params"], key)
+    return model, params, cosine_schedule(T), "random"
+
+
+def _measure_sampler(jax, jnp, apply_fn, params, sched, cond_dim, data_dim,
+                     omega, B, mesh=None, compute_dtype=None, reps=5):
+    from diffsg_tpu.diffusion import cfg_sample
+
+    kw = {"compute_dtype": compute_dtype} if compute_dtype is not None else {}
+
+    @jax.jit
+    def run(cond, k):
+        y0, _ = cfg_sample(apply_fn, params, sched, cond, OMEGA, data_dim,
+                           key=k, **kw)
+        return y0
+
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(rng.uniform(0, 1, (B, cond_dim)), jnp.float32)
+    if mesh is not None:
+        from diffsg_tpu.parallel import shard_batch
+
+        cond = shard_batch(cond, mesh)
+    run(cond, jax.random.PRNGKey(1)).block_until_ready()  # compile+warmup
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        run(cond, jax.random.PRNGKey(2 + i)).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return B / float(np.median(times))
+
+
+def _per_task_rows(jax, jnp, mesh):
+    """NU/CO throughput at the reference protocol (their trained ckpts,
+    T=20, omega=500), batch 32768 — one row per task when the ckpt exists."""
+    import pathlib
+
+    from diffsg_tpu.tasks import TASKS
+    from diffsg_tpu.utils import load_checkpoint
+
+    rows = {}
+    for task_name, ckpt_name, B in (("nu", "ddpm_nu_3u_best", 32768),
+                                    ("co", "ddpm_co", 32768)):
+        ckpt = pathlib.Path(__file__).parent / "ckpts" / ckpt_name
+        if not ckpt.exists():
+            continue
+        ck = load_checkpoint(str(ckpt))
+        cfg = dict(ck["metadata"].get("dataset_config") or {})
+        if not cfg:
+            continue
+        task = TASKS[task_name]
+        model = task.build_model(cfg)
+        p_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), ck["params"])
+
+        def apply_fn(p, y, t, c, m, _model=model):
+            return _model.apply({"params": p}, y, t, c, m)
+
+        sps = _measure_sampler(
+            jax, jnp, apply_fn, p_bf16, ck["sched"], task.cond_dim(cfg),
+            task.data_dim(cfg), task.default_omega, B, mesh=mesh,
+            compute_dtype=jnp.bfloat16, reps=3)
+        rows[task_name] = {
+            "solutions_per_sec": round(sps, 1),
+            "T": int(ck["sched"].T),
+            "batch_size": B,
+        }
+    return rows
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", default=None,
+                    help="e.g. dp=8 or dp=4,tp=2: shard the bench batch")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the CPU platform (virtual-mesh validation)")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override the batch-size sweep with one size")
+    ap.add_argument("--T", type=int, default=None, dest="t_override",
+                    help="override denoise steps (random weights only)")
+    ap.add_argument("--backends", default="xla,xla_bf16,pallas")
+    ap.add_argument("--no-per-task", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    import jax.numpy as jnp
+
+    from diffsg_tpu.models.unet1d_pallas import unet_apply_fn
+
+    mesh = None
+    mesh_desc = None
+    if args.mesh:
+        from diffsg_tpu.parallel import make_mesh, shard_params
+
+        spec = dict(kv.split("=") for kv in args.mesh.split(","))
+        dp = int(spec.get("dp", 1))
+        tp = int(spec.get("tp", 1))
+        n = dp * tp
+        if len(jax.devices()) < n:
+            raise SystemExit(
+                f"--mesh {args.mesh} needs {n} devices; have "
+                f"{len(jax.devices())}. For validation without hardware: "
+                f"--cpu with XLA_FLAGS=--xla_force_host_platform_device_count={n}")
+        mesh = make_mesh(n, tp=tp)
+        mesh_desc = f"dp={dp},tp={tp}"
+
+    model, params, sched, weights = _load_flagship(jnp, jax)
+    if args.t_override:
+        from diffsg_tpu.diffusion import cosine_schedule
+
+        sched = cosine_schedule(args.t_override)
+        weights = "random(T override)"
+    n_steps = sched.T
+    if mesh is not None:
+        from diffsg_tpu.parallel import shard_params
+
+        params = shard_params(params, mesh)
 
     def measure(backend, B, block_rows=1024):
         if backend == "xla_bf16":
@@ -63,37 +206,24 @@ def main():
             # bf16 vs 0.9960 f32 on the full MSR-3c test split)
             apply_fn = unet_apply_fn(model, backend="xla")
             p_run = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
-            kw = {"compute_dtype": jnp.bfloat16}
+            dtype = jnp.bfloat16
         else:
             kw_b = {"block_rows": block_rows} if backend == "pallas" else {}
             apply_fn = unet_apply_fn(model, backend=backend, **kw_b)
             p_run = params
-            kw = {}
-
-        @jax.jit
-        def run(cond, k):
-            y0, _ = cfg_sample(apply_fn, p_run, sched, cond, OMEGA, 3, key=k,
-                               **kw)
-            return y0
-
-        rng = np.random.default_rng(0)
-        cond = jnp.asarray(rng.uniform(0, 1, (B, 3)), jnp.float32)
-        run(cond, jax.random.PRNGKey(1)).block_until_ready()  # compile+warmup
-        times = []
-        for i in range(5):
-            t0 = time.perf_counter()
-            run(cond, jax.random.PRNGKey(2 + i)).block_until_ready()
-            times.append(time.perf_counter() - t0)
-        return B / float(np.median(times))
+            dtype = None
+        return _measure_sampler(jax, jnp, apply_fn, p_run, sched, 3, 3,
+                                OMEGA, B, mesh=mesh, compute_dtype=dtype)
 
     import sys
     import traceback
 
+    batches = (args.batch,) if args.batch else (8192, 32768)
     results = {}
     errors = []
-    for backend in ("xla", "xla_bf16", "pallas"):
+    for backend in args.backends.split(","):
         best = 0.0
-        for B in (8192, 32768):
+        for B in batches:
             try:
                 sps = measure(backend, B)
             except Exception as e:
@@ -111,8 +241,10 @@ def main():
         print(f"# skipped: {err}", file=sys.stderr)
     backend = max(results, key=lambda b: results[b][0])
     best, best_B = results[backend]
-    print(json.dumps({
-        "metric": f"msr3c_solutions_per_sec_chip_T{T}",
+
+    flops_per_solution = analytic_flops_per_solution(params, n_steps)
+    out = {
+        "metric": f"msr3c_solutions_per_sec_chip_T{n_steps}",
         "value": round(best, 1),
         "unit": "solutions/s",
         "vs_baseline": round(best / TARGET_SOLUTIONS_PER_SEC, 3),
@@ -122,7 +254,20 @@ def main():
         "omega": OMEGA,
         "weights": weights,
         "device": str(jax.devices()[0]),
-    }))
+        "flops_per_solution": round(flops_per_solution / 1e9, 4),  # GFLOP
+        "mfu": round(best * flops_per_solution / V5E_BF16_PEAK_FLOPS, 4),
+        "mfu_peak_tflops_bf16": V5E_BF16_PEAK_FLOPS / 1e12,
+    }
+    if mesh_desc:
+        out["mesh"] = mesh_desc
+        out["n_devices"] = int(np.prod(list(mesh.shape.values())))
+    if not args.no_per_task:
+        try:
+            out["per_task"] = _per_task_rows(jax, jnp, mesh)
+        except Exception as e:  # per-task rows must never break the contract
+            print(f"# per-task rows skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -45,6 +45,27 @@ def msr_decode(Y: jnp.ndarray,
     return jax.nn.softmax(Yn, axis=1)
 
 
+def msr_simplex_project(Y: jnp.ndarray, W: float) -> jnp.ndarray:
+    """Euclidean projection of each row onto {p >= 0, sum p = W}.
+
+    A feasibility decoder for waterfilling-labeled MSR training: the
+    projection is the identity on any feasible label (true waterfilling
+    allocations project to themselves), unlike the softmax decoder whose
+    strictly-positive outputs can never reproduce the optimum's exact
+    zeros.  Standard sort-based algorithm (Held et al. 1974), vectorized:
+    tau = (cumsum of the k largest - W)/k for the largest valid k.
+    """
+    D = Y.shape[1]
+    s = jnp.sort(Y, axis=1)[:, ::-1]                       # descending
+    csum = jnp.cumsum(s, axis=1)
+    k = jnp.arange(1, D + 1, dtype=Y.dtype)[None, :]
+    tau_k = (csum - W) / k
+    valid = s > tau_k                                       # rho = max valid k
+    rho = jnp.sum(valid.astype(jnp.int32), axis=1) - 1
+    tau = jnp.take_along_axis(tau_k, rho[:, None], axis=1)
+    return jnp.maximum(Y - tau, 0.0)
+
+
 def co_decode(Y: jnp.ndarray) -> jnp.ndarray:
     """Per-row softmax; rows that are entirely < -10 decode to all-zero
     (the "process everything locally" sentinel) — ``classifier_free_CO.py:281-290``."""

@@ -1,6 +1,7 @@
 from .base import Task, sample_solutions, sample_best_of_n, evaluate
-from .msr import MSR, MSR_TEMP
+from .msr import MSR, MSR_TEMP, MSR_WF
 from .co import CO, CO_ANALYTIC
 from .nu import NU
 
-TASKS = {"msr": MSR, "msr_temp": MSR_TEMP, "co": CO, "co_analytic": CO_ANALYTIC, "nu": NU}
+TASKS = {"msr": MSR, "msr_temp": MSR_TEMP, "msr_wf": MSR_WF,
+         "co": CO, "co_analytic": CO_ANALYTIC, "nu": NU}

@@ -1,0 +1,46 @@
+"""bench.py contract tests: one JSON line; --mesh validates on virtual devices.
+
+Runs bench.py in subprocesses (it owns jax backend configuration) with tiny
+sizes — these are smoke tests of the CLI contract, not performance runs.
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _run_bench(extra, n_virtual=8):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_virtual}")
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"), "--cpu", "--batch", "64",
+         "--T", "4", "--backends", "xla", "--no-per-task", *extra],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+@pytest.mark.slow
+def test_bench_single_device_contract():
+    out = _run_bench([])
+    assert out["unit"] == "solutions/s"
+    assert out["value"] > 0
+    assert 0 <= out["mfu"] < 1
+    assert out["flops_per_solution"] > 0
+
+
+@pytest.mark.slow
+def test_bench_mesh_flag_virtual_devices():
+    out = _run_bench(["--mesh", "dp=4,tp=2"])
+    assert out["mesh"] == "dp=4,tp=2"
+    assert out["n_devices"] == 8
+    assert out["value"] > 0

@@ -84,3 +84,50 @@ def test_feasibility_properties():
     np.testing.assert_allclose(dec[:, 2:].sum(1), 18.0, rtol=1e-5)
     assert dec[:, 0].min() >= 0 and dec[:, 0].max() <= 400
     assert dec[:, 1].min() >= 0 and dec[:, 1].max() <= 400
+
+
+def test_msr_simplex_project():
+    """Euclidean simplex projection: feasible, identity on feasible rows,
+    equals the brute-force projection on random rows."""
+    from diffsg_tpu.ops.decoders import msr_simplex_project
+
+    rng = np.random.default_rng(0)
+    W = 20.0
+    Y = jnp.asarray(rng.normal(0, 2, (64, 16)), jnp.float32)
+    P = msr_simplex_project(Y, W)
+    assert (np.asarray(P) >= 0).all()
+    np.testing.assert_allclose(np.asarray(P).sum(1), W, rtol=1e-5)
+    # identity on feasible rows
+    F = jnp.asarray(rng.dirichlet(np.ones(16), 8) * W, jnp.float32)
+    np.testing.assert_allclose(np.asarray(msr_simplex_project(F, W)), F,
+                               atol=2e-5)
+    # matches a scipy-free brute force (scan tau over sorted breakpoints)
+    y = np.asarray(Y[0], np.float64)
+    s = np.sort(y)[::-1]
+    best = None
+    for k in range(1, len(y) + 1):
+        tau = (s[:k].sum() - W) / k
+        if (k == len(y) or s[k] <= tau) and s[k - 1] > tau:
+            best = np.maximum(y - tau, 0)
+    np.testing.assert_allclose(np.asarray(P[0]), best, atol=1e-5)
+
+
+def test_msr_wf_decode_recovers_scaled_labels():
+    """msr_wf decode is (near-)lossless when the raw sample equals the
+    y_scale-scaled waterfilling label — the training-time contract."""
+    from diffsg_tpu.data.generators import msr_waterfilling_labels
+    from diffsg_tpu.tasks import TASKS
+    from diffsg_tpu.ops.objectives import msr_sum_rate
+
+    rng = np.random.default_rng(1)
+    W, M, scale = 20.0, 80, 8.0
+    g = rng.uniform(0.5, 2.5, (32, M))
+    _, labels = msr_waterfilling_labels(g, W)
+    cfg = {"M": M, "W": W, "y_scale": scale}
+    task = TASKS["msr_wf"]
+    dec = task.decode_with_x(jnp.asarray(labels * scale, jnp.float32),
+                             jnp.asarray(g, jnp.float32), cfg)
+    r_dec = np.asarray(msr_sum_rate(dec, jnp.asarray(g, jnp.float32)))
+    r_lab = np.asarray(msr_sum_rate(jnp.asarray(labels, jnp.float32),
+                                    jnp.asarray(g, jnp.float32)))
+    assert r_dec.sum() / r_lab.sum() > 0.99999

@@ -5,11 +5,16 @@ configuration (sampler settings exactly as documented), printing one JSON
 line per row.  Expected values (full test splits, TPU or CPU):
 
   msr_3c      best-of-8 @ omega 500               -> less 0.9993
-  msr_80c     msr_temp decode, omega 1000          -> less 0.9200 (97% of
-              the waterfilling feasible optimum; labels are infeasible)
+  msr_80c wf  wf-trained (y_scale 8) msr_wf decode, omega 8:
+              in-dist single draw                  -> less 0.9958 vs the
+              exact waterfilling optimum; 40w OOD  -> 0.9926
+  msr_80c     legacy-label ckpt, msr_temp, omega 1000 -> less 0.9200 vs the
+              infeasible LRH labels (97% of the feasible optimum)
   co          co_analytic, best-of-32, 8-omega mix -> exceeded 1.0026
   co OOD      same                                 -> exceeded 1.0005
+  co OOD single  plain decode, omega 5000 single   -> exceeded ~1.03
   nu          best ckpt, best-of-32, 8-omega mix   -> less 1.267
+  nu OOD bo32 best ckpt, best-of-32, 8-omega mix   -> less ~1.26
   nu OOD aug  augmented ckpt, single @ omega 2000  -> less 0.9058
 
 Usage:  python tools/headline.py [--tasks msr co nu msr80] [--cpu]
@@ -50,6 +55,10 @@ def main():
         task = TASKS[task_key]
         ck = load_checkpoint(ckpt)
         data = task.load(dataset)
+        # the checkpoint owns training-time config like y_scale
+        md_cfg = (ck.get("metadata") or {}).get("dataset_config") or {}
+        if "y_scale" in md_cfg:
+            data.config["y_scale"] = md_cfg["y_scale"]
         m = evaluate(task, ck["params"], ck["sched"], data, **kw)
         print(json.dumps({"row": name, **m}))
 
@@ -60,7 +69,13 @@ def main():
         row("msr_3c best-of-8", "msr", "ckpts/ddpm_msr_3c",
             f"{REF}/3c_10w_10000samples.csv", omega=500.0, best_of=8)
     if "msr80" in args.tasks:
-        row("msr_80c temp-decode", "msr_temp", "ckpts/ddpm_msr_80c",
+        row("msr_80c wf single-draw", "msr_wf", "ckpts/ddpm_msr_80c_wf",
+            "datasets/80c_20w_wf_10000samples.csv", omega=8.0)
+        row("msr_80c wf OOD 40w single-draw", "msr_wf",
+            "ckpts/ddpm_msr_80c_wf",
+            "datasets/80c_40w_wf_2000samples_ood.csv", omega=8.0)
+        row("msr_80c temp-decode (legacy labels)", "msr_temp",
+            "ckpts/ddpm_msr_80c",
             "datasets/80c_20w_10000samples.csv", omega=1000.0)
     if "co" in args.tasks:
         row("co analytic bo32", "co_analytic", "ckpts/ddpm_co",
@@ -69,9 +84,14 @@ def main():
         row("co OOD analytic bo32", "co_analytic", "ckpts/ddpm_co",
             f"{REF}/3nodes_2000samples_ood.csv",
             omega=wide_mix, best_of=len(wide_mix))
+        row("co OOD single-draw", "co", "ckpts/ddpm_co",
+            f"{REF}/3nodes_2000samples_ood.csv", omega=5000.0)
     if "nu" in args.tasks:
         row("nu bo32 mix", "nu", "ckpts/ddpm_nu_3u_best",
             f"{REF}/3u_18mW_10000samples.csv",
+            omega=nu_mix, best_of=len(nu_mix))
+        row("nu OOD bo32 mix", "nu", "ckpts/ddpm_nu_3u_best",
+            f"{REF}/3u_30mW_1000samples_ood.csv",
             omega=nu_mix, best_of=len(nu_mix))
         row("nu OOD augmented", "nu", "ckpts/ddpm_nu_3u_aug",
             f"{REF}/3u_30mW_1000samples_ood.csv", omega=2000.0)

@@ -20,15 +20,27 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", choices=["msr", "co", "nu"], required=True)
+    ap.add_argument("--task", choices=["msr", "msr_temp", "msr_wf", "co",
+                                       "co_analytic", "nu"], required=True)
     ap.add_argument("--dataset", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--omega", type=float, default=None)
+    ap.add_argument("--y-scale", type=float, default=1.0,
+                    help="train the diffusion on y_scale * labels (unit-ish "
+                         "target std; decoders divide it back out via "
+                         "config['y_scale'] — see tasks/msr.py msr_wf)")
     ap.add_argument("--use-ema", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--matmul-precision", default="highest",
+                    help="jax_default_matmul_precision for train+eval. "
+                         "Scaled-label training (--y-scale) diverges under "
+                         "the TPU default bf16 matmuls (observed: loss blows "
+                         "up ~epoch 70 on 80c wf labels); 'highest' is "
+                         "reproducible across backends. Pass 'default' to "
+                         "use the backend default.")
     ap.add_argument("--eval-only", default=None, help="load ckpt dir and eval")
     ap.add_argument("--resume", default=None, help="checkpoint dir to resume from")
     ap.add_argument("--checkpoint-every", type=int, default=0,
@@ -41,12 +53,18 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax
 
+    if args.matmul_precision != "default":
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
+
     from diffsg_tpu.tasks import TASKS, evaluate
     from diffsg_tpu.train import train_ddpm
     from diffsg_tpu.utils import save_checkpoint, load_checkpoint, MetricsLogger
 
     task = TASKS[args.task]
     data = task.load(args.dataset)
+    if args.y_scale != 1.0:
+        data.config["y_scale"] = args.y_scale
     model = task.build_model(data.config)
     log = MetricsLogger(pathlib.Path(args.out) / "train_log.jsonl"
                         if not args.eval_only else None)
@@ -65,8 +83,10 @@ def main():
               f"({data.X_train.shape[0]} samples, device {jax.devices()[0]})")
         t0 = time.time()
         resume_state = load_checkpoint(args.resume) if args.resume else None
+        Y_train = (data.Y_train * args.y_scale if args.y_scale != 1.0
+                   else data.Y_train)
         params, ema, sched = train_ddpm(
-            model, data.X_train, data.Y_train, cfg,
+            model, data.X_train, Y_train, cfg,
             log_fn=lambda s: log.log({"event": "train", "msg": s}),
             log_every=10,
             resume_state=resume_state,
