@@ -116,6 +116,9 @@ def _per_task_rows(jax, jnp, mesh):
     from diffsg_tpu.tasks import TASKS
     from diffsg_tpu.utils import load_checkpoint
 
+    # fallback configs for round-1 checkpoints saved before dataset_config
+    # was recorded in metadata (values = the shipped training datasets)
+    fallback_cfg = {"co": {"node_num": 3}}
     rows = {}
     for task_name, ckpt_name, B in (("nu", "ddpm_nu_3u_best", 32768),
                                     ("co", "ddpm_co", 32768)):
@@ -123,7 +126,8 @@ def _per_task_rows(jax, jnp, mesh):
         if not ckpt.exists():
             continue
         ck = load_checkpoint(str(ckpt))
-        cfg = dict(ck["metadata"].get("dataset_config") or {})
+        cfg = dict(ck["metadata"].get("dataset_config")
+                   or fallback_cfg.get(task_name) or {})
         if not cfg:
             continue
         task = TASKS[task_name]
