@@ -10,7 +10,7 @@ import numpy as np
 
 from ..data.loaders import load_nu
 from ..models.unet1d import unet_nu
-from ..ops.decoders import nu_decode
+from ..ops.decoders import nu_decode, nu_direct_decode
 from ..ops.objectives import nu_rate
 from ..train.trainer import TrainConfig
 from .base import Task
@@ -40,6 +40,12 @@ def _unnorm_y(Y, config):
     return Y
 
 
+def _decode_direct(Y_raw, config, valid_mask=None):
+    # strictly per-row — valid_mask not needed (see nu_direct_decode)
+    return nu_direct_decode(Y_raw, config["width"], config["height"],
+                            config["P_sum"], config.get("y_scale", 1.0))
+
+
 NU = Task(
     name="nu",
     build_model=lambda cfg: unet_nu(cfg["K"]),
@@ -55,3 +61,11 @@ NU = Task(
     train_config=TrainConfig(epochs=200, lr=4e-3, milestones=(80, 200)),
     default_omega=500.0,
 )
+
+
+import dataclasses as _dc
+
+#: NU with the per-row feasibility decode for scale-normalized training
+#: (pair with --y-scale checkpoints; tuned omega ~1, see docs/RESULTS.md).
+NU_DIRECT = _dc.replace(NU, name="nu_direct", decode=_decode_direct,
+                        default_omega=1.0)

@@ -131,3 +131,27 @@ def test_msr_wf_decode_recovers_scaled_labels():
     r_lab = np.asarray(msr_sum_rate(jnp.asarray(labels, jnp.float32),
                                     jnp.asarray(g, jnp.float32)))
     assert r_dec.sum() / r_lab.sum() > 0.99999
+
+
+def test_nu_direct_decode_recovers_scaled_labels():
+    """nu_direct decode is the identity on y_scale-scaled feasible labels
+    and always feasible (box coords, simplex powers)."""
+    from diffsg_tpu.ops.decoders import nu_direct_decode
+
+    rng = np.random.default_rng(2)
+    w = h = 400.0
+    P, scale = 18.0, 8.0
+    xy = rng.uniform(0, 1, (32, 2))
+    pw = rng.dirichlet(np.ones(3), 32)
+    labels = np.concatenate([xy, pw], axis=1)
+    dec = np.asarray(nu_direct_decode(jnp.asarray(labels * scale, jnp.float32),
+                                      w, h, P, scale))
+    np.testing.assert_allclose(dec[:, 0], xy[:, 0] * w, atol=1e-3)
+    np.testing.assert_allclose(dec[:, 1], xy[:, 1] * h, atol=1e-3)
+    np.testing.assert_allclose(dec[:, 2:], pw * P, atol=1e-3)
+    # feasibility on arbitrary raw samples
+    Y = jnp.asarray(rng.normal(0, 4, (64, 5)), jnp.float32)
+    d2 = np.asarray(nu_direct_decode(Y, w, h, P, scale))
+    assert (d2[:, 0] >= 0).all() and (d2[:, 0] <= w).all()
+    assert (d2[:, 2:] >= 0).all()
+    np.testing.assert_allclose(d2[:, 2:].sum(1), P, rtol=1e-5)

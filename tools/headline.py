@@ -13,9 +13,11 @@ line per row.  Expected values (full test splits, TPU or CPU):
   co          co_analytic, best-of-32, 8-omega mix -> exceeded 1.0026
   co OOD      same                                 -> exceeded 1.0005
   co OOD single  plain decode, omega 5000 single   -> exceeded ~1.03
-  nu          best ckpt, best-of-32, 8-omega mix   -> less 1.267
-  nu OOD bo32 best ckpt, best-of-32, 8-omega mix   -> less ~1.26
-  nu OOD aug  augmented ckpt, single @ omega 2000  -> less 0.9058
+  nu direct   aug+y_scale-8 ckpt, nu_direct decode, omega 1 single draw:
+              in-dist -> less 0.9918; OOD -> 0.9883
+  nu          best ckpt, best-of-32, 8-omega mix   -> less 1.234
+  nu OOD bo32 best ckpt, best-of-32, 8-omega mix   -> less 1.233
+  nu OOD aug  legacy augmented ckpt, single @ omega 2000 -> less 0.9058
 
 Usage:  python tools/headline.py [--tasks msr co nu msr80] [--cpu]
 """
@@ -87,6 +89,11 @@ def main():
         row("co OOD single-draw", "co", "ckpts/ddpm_co",
             f"{REF}/3nodes_2000samples_ood.csv", omega=5000.0)
     if "nu" in args.tasks:
+        row("nu direct single-draw", "nu_direct", "ckpts/ddpm_nu_3u_aug_s8",
+            f"{REF}/3u_18mW_10000samples.csv", omega=1.0)
+        row("nu direct OOD single-draw", "nu_direct",
+            "ckpts/ddpm_nu_3u_aug_s8",
+            f"{REF}/3u_30mW_1000samples_ood.csv", omega=1.0)
         row("nu bo32 mix", "nu", "ckpts/ddpm_nu_3u_best",
             f"{REF}/3u_18mW_10000samples.csv",
             omega=nu_mix, best_of=len(nu_mix))

@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--out", default="ckpts/ddpm_nu_3u_aug")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--omegas", type=float, nargs="+", default=[500.0, 2000.0])
+    ap.add_argument("--y-scale", type=float, default=1.0,
+                    help="train on y_scale * labels and evaluate with the "
+                         "nu_direct feasibility decode (tuned omega ~1)")
     args = ap.parse_args()
 
     import dataclasses
@@ -36,7 +39,7 @@ def main():
 
     from diffsg_tpu.data import load_nu
     from diffsg_tpu.data.generators import nu_dataset_extension
-    from diffsg_tpu.tasks import NU, evaluate
+    from diffsg_tpu.tasks import NU, NU_DIRECT, evaluate
     from diffsg_tpu.train import train_ddpm
     from diffsg_tpu.utils import save_checkpoint
 
@@ -61,15 +64,23 @@ def main():
 
     model = NU.build_model(cfg_d)
     cfg = dataclasses.replace(NU.train_config, epochs=args.epochs, seed=args.seed)
-    params, ema, sched = train_ddpm(model, X, Y, cfg, log_every=50)
+    params, ema, sched = train_ddpm(model, X, Y * args.y_scale, cfg, log_every=50)
+    dataset_config = dict(cfg_d)
+    if args.y_scale != 1.0:
+        dataset_config["y_scale"] = args.y_scale
     save_checkpoint(args.out, params, ema=ema, sched=sched, step=cfg.epochs,
-                    metadata={"augmented_times": args.times})
+                    metadata={"augmented_times": args.times,
+                              "dataset_config": dataset_config})
 
+    task = NU_DIRECT if args.y_scale != 1.0 else NU
     for name, path in (("in-dist", args.dataset), ("ood", args.ood)):
-        d = NU.load(path)
+        d = task.load(path)
+        if args.y_scale != 1.0:
+            d.config["y_scale"] = args.y_scale
         for om in args.omegas:
-            m = evaluate(NU, params, sched, d, omega=om)
-            print(json.dumps({"split": name, "omega": om, **m}))
+            m = evaluate(task, params, sched, d, omega=om)
+            print(json.dumps({"split": name, "task": task.name,
+                              "omega": om, **m}))
 
 
 if __name__ == "__main__":
