@@ -123,11 +123,18 @@ def unet_forward_pallas(
 def unet_apply_fn(model: UNet1D, backend: str = "xla", **pallas_kw):
     """apply_fn(params, y, t, cond, mask) for the sampler/trainer.
 
-    backend: "xla" (flax apply) or "pallas" (fused kernels, TPU).
+    backend: "xla" (flax apply), "pallas" (per-block fused kernels), or
+    "mega" (whole-network single kernel, ops/pallas_mega.py — the fast
+    TPU path).
     """
     if backend == "xla":
         return lambda p, y, t, c, m: model.apply({"params": p}, y, t, c, m)
     if backend == "pallas":
         return lambda p, y, t, c, m: unet_forward_pallas(
+            p, model, y, t, c, m, **pallas_kw)
+    if backend == "mega":
+        from ..ops.pallas_mega import unet_forward_mega
+
+        return lambda p, y, t, c, m: unet_forward_mega(
             p, model, y, t, c, m, **pallas_kw)
     raise ValueError(f"unknown backend {backend!r}")

@@ -84,3 +84,30 @@ def test_full_pallas_forward_matches_ckpt(reference_path):
     fn = unet_apply_fn(model, backend="pallas", interpret=True)
     np.testing.assert_allclose(np.asarray(fn(params, y, t, c, m)),
                                np.asarray(ref), atol=2e-6)
+
+
+def test_mega_kernel_matches_flax():
+    """Whole-network megakernel (ops/pallas_mega.py) == flax forward, f32,
+    interpreter mode (covers CFG-masked rows and multi-tile grids)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffsg_tpu.models import unet_msr
+    from diffsg_tpu.models.unet1d_pallas import unet_apply_fn
+    from diffsg_tpu.train import torch_style_init
+
+    model = unet_msr(3)
+    key = jax.random.PRNGKey(0)
+    B = 96
+    y = jax.random.normal(key, (B, 3))
+    t = jnp.full((1,), 0.35)
+    cond = jax.random.uniform(jax.random.PRNGKey(1), (B, 3))
+    mask = jnp.concatenate([jnp.zeros((B // 2, 1)), jnp.ones((B // 2, 1))])
+    variables = model.init(key, y[:1], t, cond[:1], mask[:1])
+    params = torch_style_init(variables["params"], key)
+
+    ref = model.apply({"params": params}, y, jnp.broadcast_to(t, (B,)),
+                      cond, mask)
+    mega = unet_apply_fn(model, backend="mega", tile_rows=32,
+                         interpret=True)(params, y, t, cond, mask)
+    np.testing.assert_allclose(np.asarray(mega), np.asarray(ref), atol=1e-6)
