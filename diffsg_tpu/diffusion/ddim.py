@@ -42,7 +42,7 @@ def ddim_sample(
     n_steps: Optional[int] = None,
     eta: float = 0.0,
     init_noise: Optional[jnp.ndarray] = None,
-    renorm_steps: int = 4,
+    renorm_steps: Optional[int] = None,
     valid_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, None]:
     """CFG-guided DDIM over a respaced timestep sub-sequence.
@@ -51,12 +51,20 @@ def ddim_sample(
     DDPM-like stochasticity on the sub-sequence.  ``valid_mask`` (B, 1)
     restricts the early-step re-standardization statistics to real rows
     (serving bucket padding) — see :func:`diffusion.ddpm.masked_mean_var`.
+
+    ``renorm_steps`` defaults to scaling with the respacing:
+    ``clamp(n_steps // 5, 1, 4)`` — the reference's 4 early renorm steps
+    assume a 20-step trajectory; applying 4 of 5 respaced steps collapses
+    quality (measured on the NU aug+y_scale-8 ckpt: DDIM-5 0.662 with 4
+    renorm steps vs 0.9953 with 1; DDIM-10 0.9960 with 1-2).
     """
     B = cond.shape[0]
     T = sched.T
     dtype = cond.dtype
     steps = respaced_steps(T, n_steps or T)
     n = len(steps)
+    if renorm_steps is None:
+        renorm_steps = max(1, min(4, n // 5))
     # alpha_bar at each step and at its successor in the sub-sequence
     a_t = np.asarray(sched.alphas_cumprod)[steps]
     a_prev = np.concatenate([np.asarray(sched.alphas_cumprod)[steps[1:]], [1.0]])
