@@ -56,6 +56,27 @@ def co_exact_solve(X_unnorm: jnp.ndarray) -> jnp.ndarray:
     return best_Y
 
 
+def co_direct_decode(Y_raw: jnp.ndarray, X_unnorm: jnp.ndarray,
+                     y_scale: float = 1.0,
+                     threshold: float = 0.1) -> jnp.ndarray:
+    """Decision read directly off the (unscaled) sample, allocation closed-form.
+
+    For scale-normalized CO training (``--y-scale``): the training targets are
+    the allocation shares themselves — exact zeros on non-offloaded nodes, and
+    shares summing to 1 over offloaded ones — so thresholding the unscaled
+    sample recovers the label's offload decision exactly on any feasible
+    label.  :func:`co_analytic_decode`'s softmax step instead erases the
+    magnitude information (softmax of a zeros row is uniform, never zero).
+    Strictly per-row: safe under serving bucket padding with no mask.
+    All-zero decisions decode to the zeros row (= the reference's
+    "process everything locally" sentinel, ``classifier_free_CO.py:281-290``).
+    """
+    yd = Y_raw / y_scale
+    D = (yd > threshold).astype(Y_raw.dtype)
+    execution = X_unnorm[:, 2::3]
+    return co_optimal_allocation(execution, D)
+
+
 @jax.jit
 def co_analytic_decode(Y_raw: jnp.ndarray, X_unnorm: jnp.ndarray,
                        threshold: float = 0.1) -> jnp.ndarray:

@@ -82,3 +82,18 @@ import dataclasses as _dc
 #: CO with the analytic-allocation decode (decision from the sampler,
 #: continuous shares from the closed form) — see baselines/co_exact.py.
 CO_ANALYTIC = _dc.replace(CO, name="co_analytic", decode_with_x=_decode_analytic)
+
+
+def _decode_direct(Y_raw, X_unnorm, config, valid_mask=None):
+    """Per-row feasibility decode for scale-normalized training (--y-scale):
+    decision thresholded on the unscaled sample (identity on the labels'
+    exact zeros), allocation from the closed form."""
+    from ..baselines.co_exact import co_direct_decode
+
+    return co_direct_decode(Y_raw, X_unnorm, config.get("y_scale", 1.0))
+
+
+#: CO trained directly on (scaled) allocation shares — pair with --y-scale
+#: checkpoints; tuned omega is small like nu_direct/msr_wf (see docs/RESULTS.md).
+CO_DIRECT = _dc.replace(CO, name="co_direct", decode_with_x=_decode_direct,
+                        default_omega=1.0)

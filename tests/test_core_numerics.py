@@ -155,3 +155,20 @@ def test_nu_direct_decode_recovers_scaled_labels():
     assert (d2[:, 0] >= 0).all() and (d2[:, 0] <= w).all()
     assert (d2[:, 2:] >= 0).all()
     np.testing.assert_allclose(d2[:, 2:].sum(1), P, rtol=1e-5)
+
+
+def test_co_direct_decode_recovers_label_decisions():
+    """co_direct decode recovers the exact-oracle solution when the raw
+    sample equals the y_scale-scaled optimal shares (the training-time
+    contract), and decodes the all-local zeros row to zeros."""
+    from diffsg_tpu.baselines.co_exact import co_exact_solve, co_direct_decode
+
+    rng = np.random.default_rng(3)
+    scale = 8.0
+    X = jnp.asarray(rng.uniform(0.1, 5.0, (64, 9)), jnp.float32)
+    Y_opt = co_exact_solve(X)                     # incl. possible zero rows
+    dec = co_direct_decode(Y_opt * scale, X, y_scale=scale)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(Y_opt), atol=1e-5)
+    zeros = jnp.zeros((4, 3), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(co_direct_decode(zeros, X[:4], y_scale=scale)), 0.0)

@@ -21,7 +21,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", choices=["msr", "msr_temp", "msr_wf", "co",
-                                       "co_analytic", "nu"], required=True)
+                                       "co_analytic", "co_direct", "nu",
+                                       "nu_direct"], required=True)
     ap.add_argument("--dataset", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--epochs", type=int, default=None)
