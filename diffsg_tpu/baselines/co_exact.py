@@ -57,7 +57,7 @@ def co_exact_solve(X_unnorm: jnp.ndarray) -> jnp.ndarray:
 
 
 def co_direct_decode(Y_raw: jnp.ndarray, X_unnorm: jnp.ndarray,
-                     y_scale: float = 1.0,
+                     y_scale: float = 1.0, y_shift: float = 0.0,
                      threshold: float = 0.1) -> jnp.ndarray:
     """Decision read directly off the (unscaled) sample, allocation closed-form.
 
@@ -71,7 +71,7 @@ def co_direct_decode(Y_raw: jnp.ndarray, X_unnorm: jnp.ndarray,
     All-zero decisions decode to the zeros row (= the reference's
     "process everything locally" sentinel, ``classifier_free_CO.py:281-290``).
     """
-    yd = Y_raw / y_scale
+    yd = Y_raw / y_scale + y_shift   # inverse of train-time (y - shift) * scale
     D = (yd > threshold).astype(Y_raw.dtype)
     execution = X_unnorm[:, 2::3]
     return co_optimal_allocation(execution, D)

@@ -90,7 +90,8 @@ def _decode_direct(Y_raw, X_unnorm, config, valid_mask=None):
     exact zeros), allocation from the closed form."""
     from ..baselines.co_exact import co_direct_decode
 
-    return co_direct_decode(Y_raw, X_unnorm, config.get("y_scale", 1.0))
+    return co_direct_decode(Y_raw, X_unnorm, config.get("y_scale", 1.0),
+                            config.get("y_shift", 0.0))
 
 
 #: CO trained directly on (scaled) allocation shares — pair with --y-scale

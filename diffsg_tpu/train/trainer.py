@@ -57,6 +57,12 @@ class TrainConfig:
     ema_update_rate: int = 5
     warmup_epoch: int = 5
     seed: int = 0
+    #: optional global-norm gradient clip (framework extension, default off =
+    #: the reference's bare Adam).  Scaled-label training (--y-scale) can
+    #: diverge mid-run at the reference lr (observed: CO y_scale-2 collapses
+    #: to the trivial eps=0 minimum between epochs 10-20); clipping tames it
+    #: without changing the reference-parity default path.
+    grad_clip: Optional[float] = None
 
 
 class TrainState(NamedTuple):
@@ -76,7 +82,10 @@ def multistep_lr(base_lr: float, milestones: Sequence[int], steps_per_epoch: int
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
     sched = multistep_lr(cfg.lr, cfg.milestones, steps_per_epoch, cfg.lr_gamma)
     # torch Adam defaults: b1=0.9, b2=0.999, eps=1e-8 — optax matches.
-    return optax.adam(sched)
+    adam = optax.adam(sched)
+    if cfg.grad_clip is not None:
+        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), adam)
+    return adam
 
 
 def build_train_epoch(

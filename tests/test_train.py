@@ -78,3 +78,24 @@ def test_synthetic_co_end_to_end():
     Y_pred = jax.nn.softmax(y0, axis=1)
     acc = (decision_class(np.asarray(Y_pred)) == decision_class(td.Y_test)).mean()
     assert acc > 0.9, f"synthetic decision accuracy {acc}"
+
+
+def test_grad_clip_optimizer():
+    """grad_clip (framework extension) bounds the update; default is off
+    (bare Adam, reference parity)."""
+    import optax
+    from diffsg_tpu.train.trainer import TrainConfig, make_optimizer
+
+    cfg = TrainConfig(grad_clip=1.0)
+    opt = make_optimizer(cfg, steps_per_epoch=10)
+    params = {"w": jnp.zeros((4,))}
+    state = opt.init(params)
+    huge = {"w": jnp.full((4,), 1e9)}
+    updates, _ = opt.update(huge, state, params)
+    # after global-norm clip to 1.0, Adam normalizes further; update is finite
+    assert np.isfinite(np.asarray(updates["w"])).all()
+    clipped = optax.clip_by_global_norm(1.0).update(
+        huge, optax.clip_by_global_norm(1.0).init(params), params)[0]
+    np.testing.assert_allclose(
+        float(jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree.leaves(clipped)))),
+        1.0, rtol=1e-5)

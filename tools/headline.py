@@ -4,7 +4,10 @@ For each task, loads the committed checkpoint and runs the tuned evaluation
 configuration (sampler settings exactly as documented), printing one JSON
 line per row.  Expected values (full test splits, TPU or CPU):
 
-  msr_3c      best-of-8 @ omega 500               -> less 0.9993
+  msr_3c wf   centered+scaled training (y_shift W/M, y_scale 3), msr_wf
+              decode, omega 1 single draw          -> less 0.9999919
+              (20w OOD -> 1.000005; labels are the true optimum in-dist)
+  msr_3c      best-of-8 @ omega 500 (legacy path) -> less 0.9993
   msr_80c wf  wf-trained (y_scale 8) msr_wf decode, omega 8:
               in-dist single draw                  -> less 0.9958 vs the
               exact waterfilling optimum; 40w OOD  -> 0.9926
@@ -68,7 +71,11 @@ def main():
     nu_mix = [50., 150., 500., 1000., 2000., 5000., 10000., 20000.] * 4
 
     if "msr" in args.tasks:
-        row("msr_3c best-of-8", "msr", "ckpts/ddpm_msr_3c",
+        row("msr_3c wf single-draw", "msr_wf", "ckpts/ddpm_msr_3c_wf",
+            f"{REF}/3c_10w_10000samples.csv", omega=1.0)
+        row("msr_3c wf OOD 20w single-draw", "msr_wf", "ckpts/ddpm_msr_3c_wf",
+            f"{REF}/3c_20w_2000samples_ood.csv", omega=1.0)
+        row("msr_3c best-of-8 (legacy softmax path)", "msr", "ckpts/ddpm_msr_3c",
             f"{REF}/3c_10w_10000samples.csv", omega=500.0, best_of=8)
     if "msr80" in args.tasks:
         row("msr_80c wf single-draw", "msr_wf", "ckpts/ddpm_msr_80c_wf",

@@ -104,7 +104,9 @@ def run_ppo(task_name, data, task, ckpt):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", choices=["msr", "msr_temp", "co", "co_analytic", "nu"], required=True)
+    ap.add_argument("--task", choices=["msr", "msr_temp", "msr_wf", "co",
+                                       "co_analytic", "co_direct", "nu",
+                                       "nu_direct"], required=True)
     ap.add_argument("--datasets", nargs="+", required=True)
     ap.add_argument("--ckpt", default=None, help="DDPM checkpoint dir")
     ap.add_argument("--omegas", type=float, nargs="+", default=[500.0])
@@ -149,6 +151,11 @@ def main():
     ck = load_checkpoint(args.ckpt) if args.ckpt else None
     for ds in args.datasets:
         data = task.load(ds)
+        if ck is not None:
+            # the checkpoint owns training-time config like y_scale
+            md_cfg = (ck.get("metadata") or {}).get("dataset_config") or {}
+            if "y_scale" in md_cfg:
+                data.config["y_scale"] = md_cfg["y_scale"]
         if ck is not None:
             if args.mix_omegas and args.best_of > 1:
                 reps = max(args.best_of // len(args.mix_omegas), 1)

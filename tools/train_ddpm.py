@@ -33,7 +33,18 @@ def main():
                     help="train the diffusion on y_scale * labels (unit-ish "
                          "target std; decoders divide it back out via "
                          "config['y_scale'] — see tasks/msr.py msr_wf)")
+    ap.add_argument("--y-shift", type=float, default=0.0,
+                    help="subtract this from labels BEFORE --y-scale: train "
+                         "on y_scale * (labels - y_shift).  Use for tasks "
+                         "whose labels have a large constant mean (MSR "
+                         "powers: mean W/M >> std).  The msr_wf simplex-"
+                         "projection decode is invariant to per-row constant "
+                         "shifts (the projection removes any c*1 component), "
+                         "so decoding needs no inverse shift.")
     ap.add_argument("--use-ema", action="store_true")
+    ap.add_argument("--grad-clip", type=float, default=None,
+                    help="global-norm gradient clip (framework extension; "
+                         "stabilizes scaled-label training)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--matmul-precision", default="highest",
                     help="jax_default_matmul_precision for train+eval. "
@@ -66,6 +77,8 @@ def main():
     data = task.load(args.dataset)
     if args.y_scale != 1.0:
         data.config["y_scale"] = args.y_scale
+    if args.y_shift != 0.0:
+        data.config["y_shift"] = args.y_shift
     model = task.build_model(data.config)
     log = MetricsLogger(pathlib.Path(args.out) / "train_log.jsonl"
                         if not args.eval_only else None)
@@ -73,7 +86,8 @@ def main():
     cfg = task.train_config
     overrides = {k: v for k, v in
                  [("epochs", args.epochs), ("lr", args.lr), ("seed", args.seed),
-                  ("use_ema", args.use_ema or None)] if v is not None}
+                  ("use_ema", args.use_ema or None),
+                  ("grad_clip", args.grad_clip)] if v is not None}
     cfg = dataclasses.replace(cfg, **overrides)
 
     if args.eval_only:
@@ -84,8 +98,8 @@ def main():
               f"({data.X_train.shape[0]} samples, device {jax.devices()[0]})")
         t0 = time.time()
         resume_state = load_checkpoint(args.resume) if args.resume else None
-        Y_train = (data.Y_train * args.y_scale if args.y_scale != 1.0
-                   else data.Y_train)
+        Y_train = (data.Y_train - args.y_shift) * args.y_scale \
+            if (args.y_scale != 1.0 or args.y_shift != 0.0) else data.Y_train
         params, ema, sched = train_ddpm(
             model, data.X_train, Y_train, cfg,
             log_fn=lambda s: log.log({"event": "train", "msg": s}),
