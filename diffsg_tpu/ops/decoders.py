@@ -75,7 +75,8 @@ def co_decode(Y: jnp.ndarray) -> jnp.ndarray:
 
 
 def nu_direct_decode(Y: jnp.ndarray, width: float, height: float,
-                     P_sum: float, y_scale: float = 1.0) -> jnp.ndarray:
+                     P_sum: float, y_scale: float = 1.0,
+                     y_shift=0.0) -> jnp.ndarray:
     """Per-row feasibility decode for scale-normalized NU training.
 
     The label layout is (x/w, y/h, p/P_sum) scaled by ``y_scale`` at train
@@ -86,8 +87,11 @@ def nu_direct_decode(Y: jnp.ndarray, width: float, height: float,
     with no mask needed.  Measured (ckpts/ddpm_nu_3u_aug_s8, omega=1):
     less ratio 0.9918 in-dist / 0.9883 OOD vs the oracle labels — vs
     0.9071/0.9058 for the best round-1 ckpts through ``nu_decode``.
+
+    ``y_shift`` (scalar or per-dim (D,)) inverts centered training:
+    targets were ``y_scale * (labels - y_shift)``.
     """
-    yd = Y / y_scale
+    yd = Y / y_scale + jnp.asarray(y_shift, Y.dtype)
     xy = jnp.clip(yd[:, :2], 0.0, 1.0) \
         * jnp.asarray([width, height], dtype=Y.dtype)[None, :]
     P = msr_simplex_project(yd[:, 2:], 1.0) * P_sum

@@ -42,8 +42,12 @@ def _unnorm_y(Y, config):
 
 def _decode_direct(Y_raw, config, valid_mask=None):
     # strictly per-row — valid_mask not needed (see nu_direct_decode)
+    import numpy as _np
+
     return nu_direct_decode(Y_raw, config["width"], config["height"],
-                            config["P_sum"], config.get("y_scale", 1.0))
+                            config["P_sum"], config.get("y_scale", 1.0),
+                            _np.asarray(config.get("y_shift", 0.0),
+                                        _np.float32))
 
 
 NU = Task(

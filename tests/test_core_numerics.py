@@ -172,3 +172,21 @@ def test_co_direct_decode_recovers_label_decisions():
     zeros = jnp.zeros((4, 3), jnp.float32)
     np.testing.assert_array_equal(
         np.asarray(co_direct_decode(zeros, X[:4], y_scale=scale)), 0.0)
+
+
+def test_nu_direct_decode_inverts_center_shift():
+    """Centered training (y_scale * (labels - y_shift)) decodes back to the
+    labels when y_shift is passed (per-dim)."""
+    from diffsg_tpu.ops.decoders import nu_direct_decode
+
+    rng = np.random.default_rng(5)
+    w = h = 400.0
+    P, scale = 18.0, 8.0
+    labels = np.concatenate([rng.uniform(0, 1, (16, 2)),
+                             rng.dirichlet(np.ones(3), 16)], axis=1)
+    shift = labels.mean(axis=0)
+    raw = (labels - shift) * scale
+    dec = np.asarray(nu_direct_decode(jnp.asarray(raw, jnp.float32), w, h, P,
+                                      scale, shift.astype(np.float32)))
+    np.testing.assert_allclose(dec[:, 0], labels[:, 0] * w, atol=1e-3)
+    np.testing.assert_allclose(dec[:, 2:], labels[:, 2:] * P, atol=1e-3)

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--best-of", type=int, default=1)
     ap.add_argument("--batch", type=int, default=512,
                     help="eval batch (reference protocol: 512)")
+    ap.add_argument("--limit", type=int, default=None,
+                    help="evaluate only the first N test rows (smoke runs)")
     ap.add_argument("--no-ddpm-row", action="store_true",
                     help="skip the full-T ancestral-sampler reference row")
     ap.add_argument("--cpu", action="store_true")
@@ -65,10 +67,13 @@ def main():
 
     for ds in args.datasets:
         data = task.load(ds)
-        # the checkpoint owns training-time config like y_scale
-        solver_cfg_scale = solver.config.get("y_scale")
-        if solver_cfg_scale is not None:
-            data.config["y_scale"] = solver_cfg_scale
+        if args.limit:
+            data.X_test = data.X_test[:args.limit]
+            data.Y_test = data.Y_test[:args.limit]
+        # the checkpoint owns training-time config like y_scale/y_shift
+        for k in ("y_scale", "y_shift"):
+            if solver.config.get(k) is not None:
+                data.config[k] = solver.config[k]
         rows = ([] if args.no_ddpm_row else [("ddpm", None)])
         rows += [("ddim", s) for s in args.steps]
         for sampler, n_steps in rows:

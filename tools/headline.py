@@ -16,8 +16,9 @@ line per row.  Expected values (full test splits, TPU or CPU):
   co          co_analytic, best-of-32, 8-omega mix -> exceeded 1.0026
   co OOD      same                                 -> exceeded 1.0005
   co OOD single  plain decode, omega 5000 single   -> exceeded ~1.03
-  nu direct   aug+y_scale-8 ckpt, nu_direct decode, omega 1 single draw:
-              in-dist -> less 0.9918; OOD -> 0.9883
+  nu direct   aug32 + centered + y_scale-8 ckpt, nu_direct decode,
+              omega 0.125 single draw -> in-dist 0.9993; OOD 0.9963
+              (aug2 s8 ckpt @ omega 1 -> 0.9918 / 0.9883)
   nu          best ckpt, best-of-32, 8-omega mix   -> less 1.234
   nu OOD bo32 best ckpt, best-of-32, 8-omega mix   -> less 1.233
   nu OOD aug  legacy augmented ckpt, single @ omega 2000 -> less 0.9058
@@ -60,10 +61,11 @@ def main():
         task = TASKS[task_key]
         ck = load_checkpoint(ckpt)
         data = task.load(dataset)
-        # the checkpoint owns training-time config like y_scale
+        # the checkpoint owns training-time config like y_scale/y_shift
         md_cfg = (ck.get("metadata") or {}).get("dataset_config") or {}
-        if "y_scale" in md_cfg:
-            data.config["y_scale"] = md_cfg["y_scale"]
+        for k in ("y_scale", "y_shift"):
+            if k in md_cfg:
+                data.config[k] = md_cfg[k]
         m = evaluate(task, ck["params"], ck["sched"], data, **kw)
         print(json.dumps({"row": name, **m}))
 
@@ -96,11 +98,15 @@ def main():
         row("co OOD single-draw", "co", "ckpts/ddpm_co",
             f"{REF}/3nodes_2000samples_ood.csv", omega=5000.0)
     if "nu" in args.tasks:
-        row("nu direct single-draw", "nu_direct", "ckpts/ddpm_nu_3u_aug_s8",
-            f"{REF}/3u_18mW_10000samples.csv", omega=1.0)
-        row("nu direct OOD single-draw", "nu_direct",
+        row("nu direct single-draw (aug32 centered)", "nu_direct",
+            "ckpts/ddpm_nu_3u_aug32_s8c",
+            f"{REF}/3u_18mW_10000samples.csv", omega=0.125)
+        row("nu direct OOD single-draw (aug32 centered)", "nu_direct",
+            "ckpts/ddpm_nu_3u_aug32_s8c",
+            f"{REF}/3u_30mW_1000samples_ood.csv", omega=0.125)
+        row("nu direct single-draw (aug2 s8, round-2a)", "nu_direct",
             "ckpts/ddpm_nu_3u_aug_s8",
-            f"{REF}/3u_30mW_1000samples_ood.csv", omega=1.0)
+            f"{REF}/3u_18mW_10000samples.csv", omega=1.0)
         row("nu bo32 mix", "nu", "ckpts/ddpm_nu_3u_best",
             f"{REF}/3u_18mW_10000samples.csv",
             omega=nu_mix, best_of=len(nu_mix))

@@ -152,10 +152,11 @@ def main():
     for ds in args.datasets:
         data = task.load(ds)
         if ck is not None:
-            # the checkpoint owns training-time config like y_scale
+            # the checkpoint owns training-time config like y_scale/y_shift
             md_cfg = (ck.get("metadata") or {}).get("dataset_config") or {}
-            if "y_scale" in md_cfg:
-                data.config["y_scale"] = md_cfg["y_scale"]
+            for k in ("y_scale", "y_shift"):
+                if k in md_cfg:
+                    data.config[k] = md_cfg[k]
         if ck is not None:
             if args.mix_omegas and args.best_of > 1:
                 reps = max(args.best_of // len(args.mix_omegas), 1)

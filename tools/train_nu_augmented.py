@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--y-scale", type=float, default=1.0,
                     help="train on y_scale * labels and evaluate with the "
                          "nu_direct feasibility decode (tuned omega ~1)")
+    ap.add_argument("--center", action="store_true",
+                    help="subtract the per-dim train-set label mean before "
+                         "--y-scale (targets y_scale*(labels-mean)); the "
+                         "nu_direct decode inverts via config['y_shift']")
+    ap.add_argument("--grad-clip", type=float, default=None)
     args = ap.parse_args()
 
     import dataclasses
@@ -63,11 +68,16 @@ def main():
     print(f"augmented train set: {X.shape[0]} rows")
 
     model = NU.build_model(cfg_d)
-    cfg = dataclasses.replace(NU.train_config, epochs=args.epochs, seed=args.seed)
-    params, ema, sched = train_ddpm(model, X, Y * args.y_scale, cfg, log_every=50)
+    cfg = dataclasses.replace(NU.train_config, epochs=args.epochs,
+                              seed=args.seed, grad_clip=args.grad_clip)
+    y_shift = Y.mean(axis=0) if args.center else np.zeros(Y.shape[1])
+    params, ema, sched = train_ddpm(model, X, (Y - y_shift) * args.y_scale,
+                                    cfg, log_every=50)
     dataset_config = dict(cfg_d)
     if args.y_scale != 1.0:
         dataset_config["y_scale"] = args.y_scale
+    if args.center:
+        dataset_config["y_shift"] = [float(v) for v in y_shift]
     save_checkpoint(args.out, params, ema=ema, sched=sched, step=cfg.epochs,
                     metadata={"augmented_times": args.times,
                               "dataset_config": dataset_config})
@@ -77,6 +87,8 @@ def main():
         d = task.load(path)
         if args.y_scale != 1.0:
             d.config["y_scale"] = args.y_scale
+        if args.center:
+            d.config["y_shift"] = dataset_config["y_shift"]
         for om in args.omegas:
             m = evaluate(task, params, sched, d, omega=om)
             print(json.dumps({"split": name, "task": task.name,
