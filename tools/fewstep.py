@@ -52,11 +52,10 @@ def main():
     from diffsg_tpu.tasks import TASKS
     from diffsg_tpu.tasks.base import objective_metrics
 
-    solver = Solver.from_checkpoint(args.ckpt, task=args.task)
     task = TASKS[args.task]
     omega = task.default_omega if args.omega is None else args.omega
 
-    def run(data, sampler, n_steps):
+    def run(solver, data, sampler, n_steps):
         outs = []
         t0 = time.time()
         for i, lo in enumerate(range(0, data.X_test.shape[0], args.batch)):
@@ -70,14 +69,19 @@ def main():
         if args.limit:
             data.X_test = data.X_test[:args.limit]
             data.Y_test = data.Y_test[:args.limit]
-        # the checkpoint owns training-time config like y_scale/y_shift
+        # per-dataset solver: the DATASET owns physical config (W, P_sum,
+        # scaler min/max — OOD splits differ from the training ones), while
+        # the CHECKPOINT owns training-time keys (y_scale, y_shift) that
+        # from_checkpoint keeps when absent from dataset_config.
+        solver = Solver.from_checkpoint(args.ckpt, task=args.task,
+                                        dataset_config=data.config)
         for k in ("y_scale", "y_shift"):
             if solver.config.get(k) is not None:
                 data.config[k] = solver.config[k]
         rows = ([] if args.no_ddpm_row else [("ddpm", None)])
         rows += [("ddim", s) for s in args.steps]
         for sampler, n_steps in rows:
-            Y, secs = run(data, sampler, n_steps)
+            Y, secs = run(solver, data, sampler, n_steps)
             m = objective_metrics(task, data, Y)
             if task.extra_metrics is not None:
                 import jax.numpy as jnp
@@ -95,7 +99,7 @@ def main():
                 "task": args.task, "dataset": ds, "sampler": sampler,
                 "steps": n_steps or int(solver.sched.T),
                 "omega": omega, "best_of": args.best_of,
-                "elapsed_s": round(secs, 2), **m}))
+                "elapsed_s": round(secs, 2), **m}, ), flush=True)
 
 
 if __name__ == "__main__":
