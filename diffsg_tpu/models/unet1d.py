@@ -263,10 +263,16 @@ class UNet1D(nn.Module):
 
 # Reference model-zoo constructors -------------------------------------------
 
-def unet_msr(M: int = 3) -> UNet1D:
-    """MSR config (``classifier_free_MSR.py:202-203``); M=3 or 80."""
-    return UNet1D(input_dim=M, proj_dim=128, cond_dim=M,
-                  dims=(64, 32, 16, 8), is_attn=(False,) * 4,
+def unet_msr(M: int = 3, proj_dim: int = 128,
+             dims=(64, 32, 16, 8)) -> UNet1D:
+    """MSR config (``classifier_free_MSR.py:202-203``); M=3 or 80.
+
+    ``proj_dim``/``dims`` default to the reference architecture; overriding
+    them (framework extension, carried in checkpoint metadata via
+    ``config['proj_dim']/['dims']``) scales the denoiser for wider tasks.
+    """
+    return UNet1D(input_dim=M, proj_dim=proj_dim, cond_dim=M,
+                  dims=tuple(dims), is_attn=(False,) * len(dims),
                   middle_attn=False, n_blocks=2)
 
 

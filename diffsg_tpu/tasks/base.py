@@ -54,6 +54,21 @@ class Task:
                                      jnp.ndarray]] = None
 
 
+#: dataset-config keys owned by the CHECKPOINT (training-time choices), not
+#: the dataset: label transforms and model-architecture overrides.
+CKPT_CONFIG_KEYS = ("y_scale", "y_shift", "proj_dim", "dims")
+
+
+def merge_ckpt_config(config: Dict, metadata: Optional[Dict]) -> Dict:
+    """Copy checkpoint-owned keys from ckpt metadata's dataset_config into a
+    freshly-loaded dataset config (W/P_sum/scalers stay the dataset's own)."""
+    md_cfg = (metadata or {}).get("dataset_config") or {}
+    for k in CKPT_CONFIG_KEYS:
+        if k in md_cfg:
+            config[k] = md_cfg[k]
+    return config
+
+
 def sample_solutions(
     task: Task,
     params: Any,

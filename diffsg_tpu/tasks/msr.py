@@ -107,9 +107,14 @@ def _decode_proj_selected(Y_raw, X_unnorm, config, valid_mask=None):
     return jnp.where((r_proj > r_soft)[:, None], proj, soft)
 
 
+def _build_model(cfg):
+    return unet_msr(cfg["M"], cfg.get("proj_dim", 128),
+                    tuple(cfg.get("dims", (64, 32, 16, 8))))
+
+
 MSR = Task(
     name="msr",
-    build_model=lambda cfg: unet_msr(cfg["M"]),
+    build_model=_build_model,
     load=load_msr,
     decode=_decode,
     objective=_objective,

@@ -65,3 +65,30 @@ def test_schedule_buffers_roundtrip(nu_ckpt):
     ours = cosine_schedule(20)
     for a, b in zip(sched, ours):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_msr_width_override_and_ckpt_config_merge():
+    """Model-zoo scaling (framework extension): proj_dim/dims overrides flow
+    through task config; merge_ckpt_config keeps dataset-owned keys."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffsg_tpu.tasks import TASKS
+    from diffsg_tpu.tasks.base import merge_ckpt_config
+
+    cfg = {"M": 80, "W": 20.0, "proj_dim": 256, "dims": (128, 64, 32, 16)}
+    m = TASKS["msr"].build_model(cfg)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 80)), jnp.zeros((1,)),
+               jnp.zeros((1, 80)), jnp.ones((1, 1)))
+    wide = sum(a.size for a in jax.tree.leaves(v["params"]))
+    ref = 1_655_528  # reference MSR-80c architecture (SURVEY.md 2.2)
+    assert wide > 3 * ref
+
+    merged = merge_ckpt_config(
+        {"M": 80, "W": 40.0},
+        {"dataset_config": {"y_scale": 8.0, "dims": [128, 64, 32, 16],
+                            "W": 20.0, "scaler_min": 0.0}})
+    assert merged["W"] == 40.0          # dataset owns physical config
+    assert merged["y_scale"] == 8.0     # checkpoint owns training config
+    assert merged["dims"] == [128, 64, 32, 16]
+    assert "scaler_min" not in merged  # not a checkpoint-owned key

@@ -75,7 +75,9 @@ def main():
         # from_checkpoint keeps when absent from dataset_config.
         solver = Solver.from_checkpoint(args.ckpt, task=args.task,
                                         dataset_config=data.config)
-        for k in ("y_scale", "y_shift"):
+        from diffsg_tpu.tasks.base import CKPT_CONFIG_KEYS
+
+        for k in CKPT_CONFIG_KEYS:
             if solver.config.get(k) is not None:
                 data.config[k] = solver.config[k]
         rows = ([] if args.no_ddpm_row else [("ddpm", None)])

@@ -8,9 +8,10 @@ line per row.  Expected values (full test splits, TPU or CPU):
               decode, omega 1 single draw          -> less 0.9999919
               (20w OOD -> 1.000005; labels are the true optimum in-dist)
   msr_3c      best-of-8 @ omega 500 (legacy path) -> less 0.9993
-  msr_80c wf  wf-trained (y_scale 8) msr_wf decode, omega 8:
-              in-dist single draw                  -> less 0.9958 vs the
-              exact waterfilling optimum; 40w OOD  -> 0.9926
+  msr_80c wf  wf50k ckpt (50k oracle samples, y_scale 8), msr_wf decode,
+              omega 8: in-dist single draw -> less 0.9962 vs the exact
+              waterfilling optimum; 40w OOD -> 0.9931
+              (10k-trained ckpt: 0.9958 / 0.9926)
   msr_80c     legacy-label ckpt, msr_temp, omega 1000 -> less 0.9200 vs the
               infeasible LRH labels (97% of the feasible optimum)
   co          co_analytic, best-of-32, 8-omega mix -> exceeded 1.0026
@@ -61,11 +62,9 @@ def main():
         task = TASKS[task_key]
         ck = load_checkpoint(ckpt)
         data = task.load(dataset)
-        # the checkpoint owns training-time config like y_scale/y_shift
-        md_cfg = (ck.get("metadata") or {}).get("dataset_config") or {}
-        for k in ("y_scale", "y_shift"):
-            if k in md_cfg:
-                data.config[k] = md_cfg[k]
+        from diffsg_tpu.tasks.base import merge_ckpt_config
+
+        merge_ckpt_config(data.config, ck.get("metadata"))
         m = evaluate(task, ck["params"], ck["sched"], data, **kw)
         print(json.dumps({"row": name, **m}))
 
@@ -80,11 +79,14 @@ def main():
         row("msr_3c best-of-8 (legacy softmax path)", "msr", "ckpts/ddpm_msr_3c",
             f"{REF}/3c_10w_10000samples.csv", omega=500.0, best_of=8)
     if "msr80" in args.tasks:
-        row("msr_80c wf single-draw", "msr_wf", "ckpts/ddpm_msr_80c_wf",
+        row("msr_80c wf50k single-draw", "msr_wf", "ckpts/ddpm_msr_80c_wf50k",
             "datasets/80c_20w_wf_10000samples.csv", omega=8.0)
-        row("msr_80c wf OOD 40w single-draw", "msr_wf",
-            "ckpts/ddpm_msr_80c_wf",
+        row("msr_80c wf50k OOD 40w single-draw", "msr_wf",
+            "ckpts/ddpm_msr_80c_wf50k",
             "datasets/80c_40w_wf_2000samples_ood.csv", omega=8.0)
+        row("msr_80c wf single-draw (10k-trained)", "msr_wf",
+            "ckpts/ddpm_msr_80c_wf",
+            "datasets/80c_20w_wf_10000samples.csv", omega=8.0)
         row("msr_80c temp-decode (legacy labels)", "msr_temp",
             "ckpts/ddpm_msr_80c",
             "datasets/80c_20w_10000samples.csv", omega=1000.0)

@@ -152,11 +152,9 @@ def main():
     for ds in args.datasets:
         data = task.load(ds)
         if ck is not None:
-            # the checkpoint owns training-time config like y_scale/y_shift
-            md_cfg = (ck.get("metadata") or {}).get("dataset_config") or {}
-            for k in ("y_scale", "y_shift"):
-                if k in md_cfg:
-                    data.config[k] = md_cfg[k]
+            from diffsg_tpu.tasks.base import merge_ckpt_config
+
+            merge_ckpt_config(data.config, ck.get("metadata"))
         if ck is not None:
             if args.mix_omegas and args.best_of > 1:
                 reps = max(args.best_of // len(args.mix_omegas), 1)

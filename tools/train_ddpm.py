@@ -45,6 +45,14 @@ def main():
     ap.add_argument("--grad-clip", type=float, default=None,
                     help="global-norm gradient clip (framework extension; "
                          "stabilizes scaled-label training)")
+    ap.add_argument("--milestones", type=int, nargs="+", default=None,
+                    help="override the LR x0.1 drop epochs (reference "
+                         "defaults live in tasks/*.py)")
+    ap.add_argument("--proj-dim", type=int, default=None,
+                    help="MSR denoiser width override (model-zoo scaling; "
+                         "carried in checkpoint metadata)")
+    ap.add_argument("--dims", type=int, nargs="+", default=None,
+                    help="MSR denoiser stage widths override")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--matmul-precision", default="highest",
                     help="jax_default_matmul_precision for train+eval. "
@@ -79,6 +87,10 @@ def main():
         data.config["y_scale"] = args.y_scale
     if args.y_shift != 0.0:
         data.config["y_shift"] = args.y_shift
+    if args.proj_dim:
+        data.config["proj_dim"] = args.proj_dim
+    if args.dims:
+        data.config["dims"] = tuple(args.dims)
     model = task.build_model(data.config)
     log = MetricsLogger(pathlib.Path(args.out) / "train_log.jsonl"
                         if not args.eval_only else None)
@@ -87,12 +99,18 @@ def main():
     overrides = {k: v for k, v in
                  [("epochs", args.epochs), ("lr", args.lr), ("seed", args.seed),
                   ("use_ema", args.use_ema or None),
-                  ("grad_clip", args.grad_clip)] if v is not None}
+                  ("grad_clip", args.grad_clip),
+                  ("milestones", tuple(args.milestones)
+                   if args.milestones else None)] if v is not None}
     cfg = dataclasses.replace(cfg, **overrides)
 
     if args.eval_only:
+        from diffsg_tpu.tasks.base import merge_ckpt_config
+
         ck = load_checkpoint(args.eval_only)
         params, sched = ck["params"], ck["sched"]
+        merge_ckpt_config(data.config, ck.get("metadata"))
+        model = task.build_model(data.config)
     else:
         print(f"training {args.task} on {args.dataset} "
               f"({data.X_train.shape[0]} samples, device {jax.devices()[0]})")
