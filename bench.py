@@ -60,7 +60,7 @@ def analytic_flops_per_solution(params, n_steps: int) -> float:
     return float(n_steps * 2 * per_row)
 
 
-def _load_flagship(jnp, jax):
+def _load_flagship(jnp, jax, skip_ckpt=False):
     import pathlib
 
     from diffsg_tpu.models import unet_msr
@@ -69,7 +69,9 @@ def _load_flagship(jnp, jax):
 
     model = unet_msr(3)
     ckpt = pathlib.Path(__file__).parent / "ckpts" / "ddpm_msr_3c_T100"
-    if ckpt.exists():
+    # --T overrides the schedule, so trained T=100 params would run under a
+    # schedule they were never trained for; use random weights instead.
+    if ckpt.exists() and not skip_ckpt:
         from diffsg_tpu.utils import load_checkpoint
 
         ck = load_checkpoint(str(ckpt))
@@ -89,7 +91,7 @@ def _measure_sampler(jax, jnp, apply_fn, params, sched, cond_dim, data_dim,
 
     @jax.jit
     def run(cond, k):
-        y0, _ = cfg_sample(apply_fn, params, sched, cond, OMEGA, data_dim,
+        y0, _ = cfg_sample(apply_fn, params, sched, cond, omega, data_dim,
                            key=k, **kw)
         return y0
 
@@ -194,7 +196,8 @@ def main(argv=None):
         mesh = make_mesh(n, tp=tp)
         mesh_desc = f"dp={dp},tp={tp}"
 
-    model, params, sched, weights = _load_flagship(jnp, jax)
+    model, params, sched, weights = _load_flagship(
+        jnp, jax, skip_ckpt=bool(args.t_override))
     if args.t_override:
         from diffsg_tpu.diffusion import cosine_schedule
 
@@ -252,6 +255,7 @@ def main(argv=None):
     best, best_B = results[backend]
 
     flops_per_solution = analytic_flops_per_solution(params, n_steps)
+    n_devices = int(np.prod(list(mesh.shape.values()))) if mesh else 1
     out = {
         "metric": f"msr3c_solutions_per_sec_chip_T{n_steps}",
         "value": round(best, 1),
@@ -264,12 +268,15 @@ def main(argv=None):
         "weights": weights,
         "device": str(jax.devices()[0]),
         "flops_per_solution": round(flops_per_solution / 1e9, 4),  # GFLOP
-        "mfu": round(best * flops_per_solution / V5E_BF16_PEAK_FLOPS, 4),
+        # aggregate throughput over per-chip peak x device count: stays a
+        # true per-chip utilization number under --mesh
+        "mfu": round(best * flops_per_solution
+                     / (V5E_BF16_PEAK_FLOPS * n_devices), 4),
         "mfu_peak_tflops_bf16": V5E_BF16_PEAK_FLOPS / 1e12,
     }
     if mesh_desc:
         out["mesh"] = mesh_desc
-        out["n_devices"] = int(np.prod(list(mesh.shape.values())))
+        out["n_devices"] = n_devices
     if not args.no_per_task:
         try:
             out["per_task"] = _per_task_rows(jax, jnp, mesh)

@@ -64,8 +64,11 @@ def co_direct_decode(Y_raw: jnp.ndarray, X_unnorm: jnp.ndarray,
     For scale-normalized CO training (``--y-scale``): the training targets are
     the allocation shares themselves — exact zeros on non-offloaded nodes, and
     shares summing to 1 over offloaded ones — so thresholding the unscaled
-    sample recovers the label's offload decision exactly on any feasible
-    label.  :func:`co_analytic_decode`'s softmax step instead erases the
+    sample recovers the label's offload decision on the shipped data
+    distribution (measured min nonzero share 0.18 across the 50k oracle
+    labels, comfortably above the 0.1 threshold; a pathological instance
+    with an optimal share < 0.1 would decode that node as local).
+    :func:`co_analytic_decode`'s softmax step instead erases the
     magnitude information (softmax of a zeros row is uniform, never zero).
     Strictly per-row: safe under serving bucket padding with no mask.
     All-zero decisions decode to the zeros row (= the reference's

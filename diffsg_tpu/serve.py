@@ -40,7 +40,11 @@ class Solver:
     validity mask is threaded through both: pad rows are excluded from every
     global reduction, and bucketed results equal unbucketed ones exactly
     (tested: tests/test_serve.py bucket-invariance).  The default (None)
-    compiles per distinct batch size and matches tasks.base.evaluate exactly.
+    compiles per distinct batch size.  Noise is drawn row-major outside the
+    sampler (see ``_draw_noise``) so per-row results are batch-size-stable;
+    this is a different RNG stream than ``tasks.base.evaluate``'s internal
+    draws, so per-seed outputs differ from evaluate (same distribution,
+    same measured quality).
     """
 
     def __init__(self, task: Task, params: Any, sched: Schedule,
@@ -180,7 +184,8 @@ class Solver:
                          jnp.float32)
         # When bucketing, always pass a mask (even at pad=0) so every call in
         # a bucket shares one compiled program; without buckets, pass None so
-        # the trace matches tasks.base.evaluate bit for bit.
+        # no masked reductions appear in the trace (legacy whole-batch
+        # semantics, same program structure as tasks.base.evaluate).
         valid = None
         if self.buckets:
             valid = jnp.asarray(

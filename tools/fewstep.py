@@ -75,11 +75,9 @@ def main():
         # from_checkpoint keeps when absent from dataset_config.
         solver = Solver.from_checkpoint(args.ckpt, task=args.task,
                                         dataset_config=data.config)
-        from diffsg_tpu.tasks.base import CKPT_CONFIG_KEYS
+        from diffsg_tpu.tasks.base import merge_ckpt_config
 
-        for k in CKPT_CONFIG_KEYS:
-            if solver.config.get(k) is not None:
-                data.config[k] = solver.config[k]
+        merge_ckpt_config(data.config, {"dataset_config": solver.config})
         rows = ([] if args.no_ddpm_row else [("ddpm", None)])
         rows += [("ddim", s) for s in args.steps]
         for sampler, n_steps in rows:

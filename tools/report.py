@@ -139,6 +139,7 @@ def main():
     jax.config.update("jax_default_matmul_precision", "highest")
 
     from diffsg_tpu.tasks import TASKS, evaluate
+    from diffsg_tpu.tasks.base import merge_ckpt_config
     from diffsg_tpu.utils import MetricsLogger, load_checkpoint
 
     task = TASKS[args.task]
@@ -152,10 +153,7 @@ def main():
     for ds in args.datasets:
         data = task.load(ds)
         if ck is not None:
-            from diffsg_tpu.tasks.base import merge_ckpt_config
-
             merge_ckpt_config(data.config, ck.get("metadata"))
-        if ck is not None:
             if args.mix_omegas and args.best_of > 1:
                 reps = max(args.best_of // len(args.mix_omegas), 1)
                 mixture = [w for w in args.mix_omegas for _ in range(reps)]

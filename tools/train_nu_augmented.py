@@ -82,7 +82,9 @@ def main():
                     metadata={"augmented_times": args.times,
                               "dataset_config": dataset_config})
 
-    task = NU_DIRECT if args.y_scale != 1.0 else NU
+    # centered labels need the shift-inverting nu_direct decode even at
+    # y_scale 1 (the legacy batch-global decode is not shift-invariant)
+    task = NU_DIRECT if (args.y_scale != 1.0 or args.center) else NU
     for name, path in (("in-dist", args.dataset), ("ood", args.ood)):
         d = task.load(path)
         if args.y_scale != 1.0:
