@@ -44,3 +44,21 @@ def test_bench_mesh_flag_virtual_devices():
     assert out["mesh"] == "dp=4,tp=2"
     assert out["n_devices"] == 8
     assert out["value"] > 0
+
+
+@pytest.mark.slow
+def test_fewstep_cli_smoke():
+    """fewstep.py drives the serving Solver end-to-end (DDIM respacing,
+    checkpoint-owned y_scale/y_shift config) and prints one JSON row."""
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "fewstep.py"), "--cpu",
+         "--task", "nu_direct", "--ckpt", "ckpts/ddpm_nu_3u_aug32_s8c",
+         "--omega", "0.125", "--steps", "3", "--limit", "32",
+         "--no-ddpm-row", "--datasets",
+         "/root/reference/datasets/3u_18mW_10000samples.csv"],
+        capture_output=True, text=True, cwd=REPO, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    row = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert row["sampler"] == "ddim" and row["steps"] == 3
+    # 32-row slice of the in-dist split through the aug32 ckpt: ~0.9996
+    assert row["less_ratio"] > 0.99
