@@ -27,6 +27,21 @@ FIXTURE_DIR = pathlib.Path(__file__).parent / "fixtures"
 REFERENCE_PATH = pathlib.Path(os.environ.get("DIFFSG_REFERENCE_PATH", "/root/reference"))
 
 
+def pytest_sessionstart(session):
+    """datasets/ is gitignored (regenerable, deterministic, seconds): any
+    missing CSVs that tests read are regenerated up front."""
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo))
+    try:
+        from tools.make_datasets import ensure_datasets
+
+        ensure_datasets(["3nodes_50000samples_new.csv"])
+    except Exception as e:  # tests that need the file will fail loudly
+        print(f"conftest: dataset regeneration skipped: {e}", file=sys.stderr)
+
+
 @pytest.fixture(scope="session")
 def fixture_dir():
     return FIXTURE_DIR

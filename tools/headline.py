@@ -57,6 +57,9 @@ def main():
 
     from diffsg_tpu.tasks import TASKS, evaluate
     from diffsg_tpu.utils import load_checkpoint
+    from tools.make_datasets import ensure_datasets
+
+    ensure_datasets()  # datasets/ is gitignored; regenerate whatever is gone
 
     def row(name, task_key, ckpt, dataset, **kw):
         task = TASKS[task_key]

@@ -23,7 +23,37 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-def main():
+#: regeneration recipes for the repo's gitignored datasets/ directory
+#: (deterministic; see README "regenerate the reference's missing blobs").
+KNOWN_DATASETS = {
+    "3nodes_50000samples_new.csv": ["co", "--samples", "50000"],
+    "80c_20w_10000samples.csv": ["msr", "--samples", "10000", "--channels",
+                                 "80", "--power", "20"],
+    "80c_40w_2000samples_ood.csv": ["msr", "--samples", "2000", "--channels",
+                                    "80", "--power", "40", "--seed", "1"],
+    "80c_20w_wf_10000samples.csv": ["msr", "--samples", "10000", "--channels",
+                                    "80", "--power", "20", "--labels", "wf"],
+    "80c_40w_wf_2000samples_ood.csv": ["msr", "--samples", "2000",
+                                       "--channels", "80", "--power", "40",
+                                       "--seed", "1", "--labels", "wf"],
+    "80c_20w_wf_50000samples.csv": ["msr", "--samples", "50000", "--channels",
+                                    "80", "--power", "20", "--labels", "wf"],
+}
+
+
+def ensure_datasets(names=None, root=None):
+    """Regenerate any missing known dataset CSVs (datasets/ is gitignored and
+    does not survive a fresh checkout; generation is deterministic and takes
+    seconds).  ``names`` defaults to every known dataset."""
+    root = pathlib.Path(root or pathlib.Path(__file__).resolve().parent.parent
+                        / "datasets")
+    for name in (names or KNOWN_DATASETS):
+        out = root / name
+        if not out.exists():
+            main(KNOWN_DATASETS[name] + ["--out", str(out)])
+
+
+def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="task", required=True)
 
@@ -57,7 +87,7 @@ def main():
     nu.add_argument("--legacy-sinr", action="store_true")
     nu.add_argument("--out", required=True)
 
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     out = pathlib.Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     t0 = time.time()
