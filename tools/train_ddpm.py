@@ -48,6 +48,8 @@ def main():
     ap.add_argument("--milestones", type=int, nargs="+", default=None,
                     help="override the LR x0.1 drop epochs (reference "
                          "defaults live in tasks/*.py)")
+    ap.add_argument("--T", type=int, default=None, dest="t_steps",
+                    help="diffusion steps override (reference: 20)")
     ap.add_argument("--proj-dim", type=int, default=None,
                     help="MSR denoiser width override (model-zoo scaling; "
                          "carried in checkpoint metadata)")
@@ -100,6 +102,7 @@ def main():
                  [("epochs", args.epochs), ("lr", args.lr), ("seed", args.seed),
                   ("use_ema", args.use_ema or None),
                   ("grad_clip", args.grad_clip),
+                  ("T", args.t_steps),
                   ("milestones", tuple(args.milestones)
                    if args.milestones else None)] if v is not None}
     cfg = dataclasses.replace(cfg, **overrides)
