@@ -62,3 +62,24 @@ def test_fewstep_cli_smoke():
     assert row["sampler"] == "ddim" and row["steps"] == 3
     # 32-row slice of the in-dist split through the aug32 ckpt: ~0.9996
     assert row["less_ratio"] > 0.99
+
+
+@pytest.mark.slow
+def test_train_cli_smoke(tmp_path):
+    """train_ddpm.py end-to-end: 2 epochs on the shipped MSR CSV with the
+    round-2 flags (y-shift/scale, grad clip, milestones), checkpoint saved
+    with the training-owned config in metadata."""
+    out = tmp_path / "ckpt"
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "train_ddpm.py"), "--cpu",
+         "--task", "msr_wf", "--dataset",
+         "/root/reference/datasets/3c_10w_10000samples.csv",
+         "--out", str(out), "--epochs", "2", "--y-shift", "3.3333333",
+         "--y-scale", "3", "--grad-clip", "1.0", "--milestones", "1",
+         "--skip-eval"],
+        capture_output=True, text=True, cwd=REPO, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    meta = json.loads((out / "metadata.json").read_text())
+    assert meta["dataset_config"]["y_scale"] == 3.0
+    assert abs(meta["dataset_config"]["y_shift"] - 3.3333333) < 1e-6
+    assert meta["config"]["grad_clip"] == 1.0

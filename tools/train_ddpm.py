@@ -64,6 +64,8 @@ def main():
                          "reproducible across backends. Pass 'default' to "
                          "use the backend default.")
     ap.add_argument("--eval-only", default=None, help="load ckpt dir and eval")
+    ap.add_argument("--skip-eval", action="store_true",
+                    help="train and save only (CI smoke runs)")
     ap.add_argument("--resume", default=None, help="checkpoint dir to resume from")
     ap.add_argument("--checkpoint-every", type=int, default=0,
                     help="save a resumable checkpoint every N epochs")
@@ -140,6 +142,8 @@ def main():
                                   "train_seconds": train_s})
         log.log({"event": "saved", "out": args.out, "train_seconds": train_s})
 
+    if args.skip_eval:
+        return
     metrics = evaluate(task, params, sched, data, omega=args.omega)
     print(json.dumps({"task": args.task, "dataset": args.dataset, **metrics}))
     if not args.eval_only and cfg.use_ema:
