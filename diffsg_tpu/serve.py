@@ -49,12 +49,24 @@ class Solver:
 
     def __init__(self, task: Task, params: Any, sched: Schedule,
                  config: Dict, buckets: Optional[Sequence[int]] = None,
-                 matmul_precision: Optional[str] = "highest"):
+                 matmul_precision: Optional[str] = "highest",
+                 mesh=None):
         self.task = task
-        self.params = params
         self.sched = sched
         self.config = dict(config)
         self.buckets = sorted(buckets) if buckets else None
+        # Optional device-mesh scale-out (parallel.mesh): params are placed
+        # per their (dp, tp) shardings and each solve's batch is dp-sharded.
+        # The sampler/decoder batch-global reductions become cross-chip
+        # collectives under GSPMD, so sharded results equal single-device
+        # ones (reduction-order tolerance).  Batch sizes (after bucket
+        # padding) must be divisible by the dp size.
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel import shard_params
+
+            params = shard_params(params, mesh)
+        self.params = params
         # NU-style tasks are sensitive to matmul precision at high guidance
         # (~2% less-ratio between TPU-default bf16 matmuls and f32); traces
         # are taken under this precision. None = backend default (faster).
@@ -190,6 +202,17 @@ class Solver:
         if self.buckets:
             valid = jnp.asarray(
                 (np.arange(b) < n).astype(np.float32)[:, None])
+        if self.mesh is not None:
+            from .parallel import shard_batch
+
+            dp = self.mesh.shape["dp"]
+            if b % dp != 0:
+                raise ValueError(
+                    f"batch {b} not divisible by dp={dp}; pick bucket sizes "
+                    f"that are multiples of the dp mesh size")
+            cond, cu = shard_batch((cond, cu), self.mesh)
+            if valid is not None:
+                valid = shard_batch(valid, self.mesh)
         key = jax.random.PRNGKey(seed)
         import contextlib
 

@@ -108,3 +108,27 @@ def test_solve_ddim_and_mixture(solver, reference_path):
     # omega-mixture best-of
     ym = solver.solve(X, omega=[150, 500, 2000, 5000], best_of=4, seed=4)
     assert ym.shape == (32, 5)
+
+
+def test_mesh_sharded_solver_matches_single_device(reference_path):
+    """Solver(mesh=...) dp-shards each solve; batch-global reductions become
+    cross-chip collectives and results match the unsharded solver."""
+    from diffsg_tpu.parallel import make_mesh
+
+    pt = reference_path / "ckpts" / "ddpm_nu_3u.pt"
+    if not pt.exists():
+        pytest.skip("NU ckpt missing")
+    cfg = {"K": 3, "P_sum": 18.0, "width": 400.0, "height": 400.0}
+    td = load_nu(str(reference_path / "datasets" / "3u_18mW_10000samples.csv"))
+    X = np.asarray(td.X_test[:64])
+    plain = Solver.from_torch_checkpoint(str(pt), task="nu",
+                                         dataset_config=cfg)
+    sharded = Solver.from_torch_checkpoint(str(pt), task="nu",
+                                           dataset_config=cfg,
+                                           mesh=make_mesh(8, tp=2))
+    Yp = plain.solve(X, omega=500.0)
+    Ys = sharded.solve(X, omega=500.0)
+    np.testing.assert_allclose(Ys, Yp, rtol=5e-3, atol=5e-3)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        sharded.solve(X[:63], omega=500.0)
