@@ -59,8 +59,9 @@ class Solver:
         # per their (dp, tp) shardings and each solve's batch is dp-sharded.
         # The sampler/decoder batch-global reductions become cross-chip
         # collectives under GSPMD, so sharded results equal single-device
-        # ones (reduction-order tolerance).  Batch sizes (after bucket
-        # padding) must be divisible by the dp size.
+        # ones (reduction-order tolerance).  Batches are padded up to the
+        # next dp multiple with validity-masked rows; explicit bucket sizes
+        # must themselves be dp multiples.
         self.mesh = mesh
         if mesh is not None:
             from .parallel import shard_params
@@ -167,15 +168,20 @@ class Solver:
         return n  # larger than the biggest bucket: compile for exact size
 
     def warmup(self, omega: Optional[float] = None,
-               sizes: Optional[Sequence[int]] = None) -> None:
-        """Pre-compile the single-draw path for every bucket (or ``sizes``)."""
+               sizes: Optional[Sequence[int]] = None,
+               sampler: str = "ddpm",
+               n_steps: Optional[int] = None) -> None:
+        """Pre-compile the solve path for every bucket (or ``sizes``).
+
+        Goes through :meth:`solve` itself so the warmed executable matches
+        the serving one by construction — same matmul-precision context,
+        same input placement/sharding (mesh), same validity-mask config.
+        """
         om = self.task.default_omega if omega is None else omega
         C = self.task.cond_dim(self.config)
         for b in (sizes or self.buckets or ()):
-            z = jnp.zeros((b, C), jnp.float32)
-            valid = jnp.ones((b, 1), jnp.float32) if self.buckets else None
-            self._single(z, z, jax.random.PRNGKey(0),
-                         jnp.float32(om), valid).block_until_ready()
+            self.solve(np.zeros((b, C), np.float32), omega=om,
+                       sampler=sampler, n_steps=n_steps)
 
     def solve(self, X: np.ndarray, omega=None,
               best_of: int = 1, seed: int = 0,
@@ -189,30 +195,37 @@ class Solver:
         omega = self.task.default_omega if omega is None else omega
         n = X.shape[0]
         b = self._bucket(n)
+        if self.mesh is not None:
+            dp = self.mesh.shape["dp"]
+            if self.buckets and b % dp != 0:
+                raise ValueError(
+                    f"bucket {b} not divisible by dp={dp}; pick bucket "
+                    f"sizes that are multiples of the dp mesh size")
+            b = -(-b // dp) * dp  # pad up to the next dp multiple
         pad = b - n
         Xp = np.concatenate([X, np.repeat(X[-1:], pad, axis=0)]) if pad else X
-        cond = jnp.asarray(Xp, jnp.float32)
-        cu = jnp.asarray(self.task.unnormalize_x(np.asarray(Xp), self.config),
-                         jnp.float32)
-        # When bucketing, always pass a mask (even at pad=0) so every call in
-        # a bucket shares one compiled program; without buckets, pass None so
-        # no masked reductions appear in the trace (legacy whole-batch
+        cu_np = np.asarray(
+            self.task.unnormalize_x(np.asarray(Xp), self.config), np.float32)
+        # When bucketing or meshed, always pass a mask (even at pad=0) so
+        # every call of a size class shares one compiled program and pad rows
+        # stay out of the batch-global reductions; without either, pass None
+        # so no masked reductions appear in the trace (legacy whole-batch
         # semantics, same program structure as tasks.base.evaluate).
-        valid = None
-        if self.buckets:
-            valid = jnp.asarray(
-                (np.arange(b) < n).astype(np.float32)[:, None])
+        valid_np = None
+        if self.buckets or self.mesh is not None:
+            valid_np = (np.arange(b) < n).astype(np.float32)[:, None]
         if self.mesh is not None:
-            from .parallel import shard_batch
+            # one transfer per array, placed shard-by-shard on the mesh
+            from .parallel import batch_sharding
 
-            dp = self.mesh.shape["dp"]
-            if b % dp != 0:
-                raise ValueError(
-                    f"batch {b} not divisible by dp={dp}; pick bucket sizes "
-                    f"that are multiples of the dp mesh size")
-            cond, cu = shard_batch((cond, cu), self.mesh)
-            if valid is not None:
-                valid = shard_batch(valid, self.mesh)
+            s = batch_sharding(self.mesh)
+            cond = jax.device_put(np.asarray(Xp, np.float32), s)
+            cu = jax.device_put(cu_np, s)
+            valid = jax.device_put(valid_np, s)
+        else:
+            cond = jnp.asarray(Xp, jnp.float32)
+            cu = jnp.asarray(cu_np)
+            valid = None if valid_np is None else jnp.asarray(valid_np)
         key = jax.random.PRNGKey(seed)
         import contextlib
 

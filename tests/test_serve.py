@@ -130,5 +130,37 @@ def test_mesh_sharded_solver_matches_single_device(reference_path):
     Ys = sharded.solve(X, omega=500.0)
     np.testing.assert_allclose(Ys, Yp, rtol=5e-3, atol=5e-3)
 
+    # non-dp-divisible batches are padded with validity-masked rows
+    Y63 = sharded.solve(X[:63], omega=500.0)
+    assert Y63.shape == (63, 5)
+    np.testing.assert_allclose(Y63[:, 2:].sum(1), 18.0, rtol=1e-4)
+
+
+def test_mesh_with_buckets_all_pad_shard(reference_path):
+    """mesh + buckets: the sharded validity mask keeps an all-pad trailing
+    dp shard out of the batch-global reductions (n=33 -> bucket 64, dp=4:
+    the last 16-row shard is entirely pad)."""
+    from diffsg_tpu.parallel import make_mesh
+
+    pt = reference_path / "ckpts" / "ddpm_nu_3u.pt"
+    if not pt.exists():
+        pytest.skip("NU ckpt missing")
+    cfg = {"K": 3, "P_sum": 18.0, "width": 400.0, "height": 400.0}
+    td = load_nu(str(reference_path / "datasets" / "3u_18mW_10000samples.csv"))
+    X = np.asarray(td.X_test[:33])
+    plain = Solver.from_torch_checkpoint(str(pt), task="nu",
+                                         dataset_config=cfg)
+    meshed = Solver.from_torch_checkpoint(str(pt), task="nu",
+                                          dataset_config=cfg,
+                                          buckets=(64,),
+                                          mesh=make_mesh(8, tp=2))
     with pytest.raises(ValueError, match="not divisible"):
-        sharded.solve(X[:63], omega=500.0)
+        bad = Solver.from_torch_checkpoint(str(pt), task="nu",
+                                           dataset_config=cfg, buckets=(33,),
+                                           mesh=make_mesh(8, tp=2))
+        bad.solve(X)
+    Yp = plain.solve(X, omega=500.0)
+    Ym = meshed.solve(X, omega=500.0)
+    np.testing.assert_allclose(Ym, Yp, rtol=5e-3, atol=5e-3)
+    # warmup goes through solve: same executables, no error, reusable
+    meshed.warmup(sizes=(64,))
