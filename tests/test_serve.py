@@ -164,3 +164,15 @@ def test_mesh_with_buckets_all_pad_shard(reference_path):
     np.testing.assert_allclose(Ym, Yp, rtol=5e-3, atol=5e-3)
     # warmup goes through solve: same executables, no error, reusable
     meshed.warmup(sizes=(64,))
+
+
+def test_solve_chunked_matches_serial(solver, reference_path):
+    """Pipelined chunked solve == serial per-chunk solves (same seeds,
+    same per-chunk batch-global statistics)."""
+    td = load_nu(str(reference_path / "datasets" / "3u_18mW_10000samples.csv"))
+    X = np.asarray(td.X_test[:96])
+    serial = np.concatenate([
+        solver.solve(X[i:i + 32], omega=500.0, seed=j)
+        for j, i in enumerate(range(0, 96, 32))])
+    chunked = solver.solve_chunked(X, 32, omega=500.0)
+    np.testing.assert_allclose(chunked, serial, atol=1e-5)
