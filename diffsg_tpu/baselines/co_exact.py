@@ -74,7 +74,9 @@ def co_direct_decode(Y_raw: jnp.ndarray, X_unnorm: jnp.ndarray,
     All-zero decisions decode to the zeros row (= the reference's
     "process everything locally" sentinel, ``classifier_free_CO.py:281-290``).
     """
-    yd = Y_raw / y_scale + y_shift   # inverse of train-time (y - shift) * scale
+    # inverse of train-time (y - shift) * scale; asarray accepts scalar or
+    # per-dim (N,) shifts alike (tasks/co.py feeds config['y_shift'] verbatim)
+    yd = Y_raw / y_scale + jnp.asarray(y_shift, Y_raw.dtype)
     D = (yd > threshold).astype(Y_raw.dtype)
     execution = X_unnorm[:, 2::3]
     return co_optimal_allocation(execution, D)

@@ -146,3 +146,32 @@ def load_nu(
         R_test=R[-int(n * TEST_RATIO):],
         config=cfg,
     )
+
+
+#: budget-feature normalizer for budget-conditioned NU models: the in-dist
+#: training budget (18 mW), so the appended condition is 1.0 in-dist.
+NU_P_REF = 18.0
+
+
+def load_nu_budget(dataset_path: str, width: float = 400.0,
+                   height: float = 400.0, P_sum: Optional[float] = None,
+                   p_ref: float = NU_P_REF) -> TaskData:
+    """NU loader for budget-conditioned models (``nu_budget`` task).
+
+    Same scaling as :func:`load_nu` (this loads the standard single-budget
+    12-column CSVs — the multi-budget 13-column training CSVs are consumed
+    by ``tools/train_nu_budget.py`` directly), but the condition gets an
+    extra column ``P_sum / p_ref`` so the denoiser SEES the power budget.
+    The reference designs this capability (the ``cdim`` config key and the
+    commented-out ``condition_C``, ``classifier_free_NU.py:35-75``) but
+    never enables it; its conditions carry only user coordinates, which is
+    why budget shifts (the 30 mW OOD split) are invisible to its models.
+    """
+    td = load_nu(dataset_path, width, height, P_sum)
+    feat = np.full((1, 1), td.config["P_sum"] / p_ref)
+    td.X_train = np.concatenate(
+        [td.X_train, np.repeat(feat, td.X_train.shape[0], axis=0)], axis=1)
+    td.X_test = np.concatenate(
+        [td.X_test, np.repeat(feat, td.X_test.shape[0], axis=0)], axis=1)
+    td.config["p_ref"] = p_ref
+    return td

@@ -283,8 +283,13 @@ def unet_co(node_num: int = 3) -> UNet1D:
                   middle_attn=False, n_blocks=3)
 
 
-def unet_nu(K: int = 3) -> UNet1D:
-    """NU config (``classifier_free_NU.py:230-231``)."""
-    return UNet1D(input_dim=2 + K, proj_dim=32, cond_dim=2 * K,
+def unet_nu(K: int = 3, cond_extra: int = 0) -> UNet1D:
+    """NU config (``classifier_free_NU.py:230-231``).
+
+    ``cond_extra`` widens the condition vector for the conditioning
+    capability the reference designs but never enables (the ``cdim`` config
+    key / commented-out ``condition_C``, ``classifier_free_NU.py:35-75``) —
+    e.g. +1 for the power-budget feature of the ``nu_budget`` task."""
+    return UNet1D(input_dim=2 + K, proj_dim=32, cond_dim=2 * K + cond_extra,
                   dims=(32, 16, 8), is_attn=(False,) * 3,
                   middle_attn=False, n_blocks=2)

@@ -198,7 +198,10 @@ class Solver:
         b = self._bucket(n)
         if self.mesh is not None:
             dp = self.mesh.shape["dp"]
-            if self.buckets and b % dp != 0:
+            # Only configured buckets must be dp multiples; sizes larger than
+            # the biggest bucket fall through _bucket() as b=n and are padded
+            # up to the next dp multiple like the bucketless mesh path.
+            if self.buckets and b in self.buckets and b % dp != 0:
                 raise ValueError(
                     f"bucket {b} not divisible by dp={dp}; pick bucket "
                     f"sizes that are multiples of the dp mesh size")

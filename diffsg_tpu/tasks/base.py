@@ -17,9 +17,27 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.loaders import TaskData
+from ..diffusion.ddim import ddim_sample
 from ..diffusion.ddpm import cfg_sample
 from ..diffusion.schedule import Schedule
 from ..train.trainer import TrainConfig
+
+
+def _make_draw(apply_fn, params, sched, D, sampler: str, n_steps):
+    """Uniform (cond, omega, key) -> y0 draw over the two samplers."""
+    if sampler == "ddim":
+        steps = n_steps or sched.T
+
+        def draw(cond, omega, key, record_trace=False):
+            return ddim_sample(apply_fn, params, sched, cond, omega, D,
+                               key=key, n_steps=steps)
+    elif sampler == "ddpm":
+        def draw(cond, omega, key, record_trace=False):
+            return cfg_sample(apply_fn, params, sched, cond, omega, D,
+                              key=key, record_trace=record_trace)
+    else:
+        raise ValueError(f"unknown sampler {sampler!r}")
+    return draw
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,12 +97,15 @@ def sample_solutions(
     batch_size: int = 512,
     seed: int = 0,
     record_trace: bool = False,
+    sampler: str = "ddpm",
+    n_steps: Optional[int] = None,
 ):
     """Batched sampling over a test split, decoding per batch.
 
     Decoding happens per batch of ``batch_size`` to reproduce the
     reference's batch-global decoder normalization at eval batch 512.
-    Returns (Y_decoded (N, D) np, traces list or None).
+    ``sampler``: "ddpm" (reference ancestral) or "ddim" (deterministic,
+    respaced to ``n_steps``).  Returns (Y_decoded (N, D) np, traces or None).
     """
     model = task.build_model(config)
 
@@ -94,14 +115,12 @@ def sample_solutions(
     omega = task.default_omega if omega is None else omega
     D = task.data_dim(config)
     X_unnorm = task.unnormalize_x(X_test, config)
+    draw = _make_draw(apply_fn, params, sched, D, sampler, n_steps)
 
     # omega is a traced argument so guidance-scale grids reuse one compile.
     @jax.jit
     def run(cond, cond_unnorm, key, omega_):
-        y0, trace = cfg_sample(
-            apply_fn, params, sched, cond, omega_, D, key=key,
-            record_trace=record_trace,
-        )
+        y0, trace = draw(cond, omega_, key, record_trace=record_trace)
         if task.decode_with_x is not None:
             dec = task.decode_with_x(y0, cond_unnorm, config)
         else:
@@ -155,6 +174,8 @@ def sample_best_of_n(
     omega=None,
     batch_size: int = 512,
     seed: int = 0,
+    sampler: str = "ddpm",
+    n_steps: Optional[int] = None,
 ) -> np.ndarray:
     """Best-of-N solution selection (a capability beyond the reference).
 
@@ -184,13 +205,14 @@ def sample_best_of_n(
     n = len(omegas)
     D = task.data_dim(config)
     X_unnorm = task.unnormalize_x(X_test, config)
+    draw = _make_draw(apply_fn, params, sched, D, sampler, n_steps)
 
     @jax.jit
     def run(cond, cond_unnorm, key, omegas_):
         keys = jax.random.split(key, n)
 
         def one(k, w):
-            y0, _ = cfg_sample(apply_fn, params, sched, cond, w, D, key=k)
+            y0, _ = draw(cond, w, k)
             if task.decode_with_x is not None:
                 dec = task.decode_with_x(y0, cond_unnorm, config)
             else:
@@ -219,6 +241,8 @@ def evaluate(
     batch_size: int = 512,
     seed: int = 0,
     best_of: int = 1,
+    sampler: str = "ddpm",
+    n_steps: Optional[int] = None,
 ) -> Dict[str, float]:
     """Reference metric block: objective ratio + avg diff (+ task extras).
 
@@ -229,10 +253,12 @@ def evaluate(
     if best_of > 1:
         Y_dec = sample_best_of_n(task, params, sched, data.X_test, data.config,
                                  n=best_of, omega=omega,
-                                 batch_size=batch_size, seed=seed)
+                                 batch_size=batch_size, seed=seed,
+                                 sampler=sampler, n_steps=n_steps)
     else:
         Y_dec, _ = sample_solutions(
-            task, params, sched, data.X_test, data.config, omega, batch_size, seed
+            task, params, sched, data.X_test, data.config, omega, batch_size,
+            seed, sampler=sampler, n_steps=n_steps
         )
     X_unnorm = task.unnormalize_x(data.X_test, data.config)
     Y_true = task.unnormalize_y(data.Y_test, data.config)

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..data.loaders import load_nu
+from ..data.loaders import load_nu, load_nu_budget
 from ..models.unet1d import unet_nu
 from ..ops.decoders import nu_decode, nu_direct_decode
 from ..ops.objectives import nu_rate
@@ -73,3 +73,36 @@ import dataclasses as _dc
 #: (pair with --y-scale checkpoints; tuned omega ~1, see docs/RESULTS.md).
 NU_DIRECT = _dc.replace(NU, name="nu_direct", decode=_decode_direct,
                         default_omega=1.0)
+
+
+def _unnorm_x_budget(X, config):
+    X = np.array(X, dtype=float)
+    K = config["K"]
+    X[:, 0:2 * K:2] *= config["width"]
+    X[:, 1:2 * K:2] *= config["height"]
+    X[:, 2 * K] *= config.get("p_ref", 18.0)  # budget feature -> mW
+    return X
+
+
+def _objective_budget(Y_dec, X_unnorm, config):
+    # the trailing budget column is conditioning only; the rate sees coords
+    return nu_rate(Y_dec, X_unnorm[:, : 2 * config["K"]])
+
+
+#: NU conditioned on the power budget (condition column ``P_sum / p_ref``):
+#: the trained realization of the reference's designed-but-disabled
+#: conditioning capability (``condition_C`` / ``cdim``,
+#: ``classifier_free_NU.py:35-75``).  One model serves ANY budget; closes
+#: the 30 mW OOD gap that budget-blind conditions cannot see.  Train with
+#: ``tools/train_nu_budget.py`` on a multi-budget oracle set
+#: (``tools/make_datasets.py nu-budget``).
+NU_BUDGET = _dc.replace(
+    NU, name="nu_budget",
+    build_model=lambda cfg: unet_nu(cfg["K"], cond_extra=1),
+    load=load_nu_budget,
+    decode=_decode_direct,
+    objective=_objective_budget,
+    unnormalize_x=_unnorm_x_budget,
+    cond_dim=lambda cfg: 2 * cfg["K"] + 1,
+    default_omega=0.125,
+)

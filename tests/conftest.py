@@ -39,7 +39,14 @@ def pytest_sessionstart(session):
 
         ensure_datasets(["3nodes_50000samples_new.csv"])
     except Exception as e:  # tests that need the file will fail loudly
-        print(f"conftest: dataset regeneration skipped: {e}", file=sys.stderr)
+        import warnings
+
+        # a pytest warning survives into the summary (stderr prints are
+        # hidden without -s), so a broken make_datasets is visible as the
+        # root cause next to the downstream FileNotFoundErrors
+        warnings.warn(f"conftest: dataset regeneration failed: {e!r} — "
+                      "tests reading datasets/ will fail with missing files",
+                      RuntimeWarning, stacklevel=1)
 
 
 @pytest.fixture(scope="session")

@@ -60,3 +60,21 @@ def test_ddim_eta1_stochastic(nu):
     y2, _ = ddim_sample(af, params, sched, cond, 500.0, 5,
                         key=jax.random.PRNGKey(2), n_steps=10, eta=1.0)
     assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_evaluate_with_ddim_sampler(nu, reference_path):
+    """tasks.base.evaluate/sample paths accept sampler='ddim' (the
+    report.py --sampler ddim route)."""
+    from diffsg_tpu.tasks import TASKS, evaluate
+    from diffsg_tpu.data.loaders import TaskData
+
+    params, sched, _ = nu
+    task = TASKS["nu"]
+    d = task.load(str(reference_path / "datasets/3u_30mW_1000samples_ood.csv"))
+    d.X_test, d.Y_test = d.X_test[:64], d.Y_test[:64]
+    m = evaluate(task, params, sched, d, omega=500.0, sampler="ddim",
+                 n_steps=5)
+    assert 0.3 < m["less_ratio"] < 1.5
+    mb = evaluate(task, params, sched, d, omega=500.0, best_of=2,
+                  sampler="ddim", n_steps=5)
+    assert 0.3 < mb["less_ratio"] < 1.5

@@ -106,7 +106,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", choices=["msr", "msr_temp", "msr_wf", "co",
                                        "co_analytic", "co_direct", "nu",
-                                       "nu_direct"], required=True)
+                                       "nu_direct", "nu_budget"], required=True)
+    ap.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm",
+                    help="ddim enables few-step respacing via --n-steps "
+                         "(one-command few-step OOD sweeps; fewstep.py "
+                         "drives the serving Solver for the same numbers)")
+    ap.add_argument("--n-steps", type=int, default=None,
+                    help="DDIM respaced step count (default: full T)")
     ap.add_argument("--datasets", nargs="+", required=True)
     ap.add_argument("--ckpt", default=None, help="DDPM checkpoint dir")
     ap.add_argument("--omegas", type=float, nargs="+", default=[500.0])
@@ -159,17 +165,22 @@ def main():
                 mixture = [w for w in args.mix_omegas for _ in range(reps)]
                 m = evaluate(task, ck["params"], ck["sched"], data,
                              omega=mixture, seed=args.seed,
-                             best_of=len(mixture))
-                log.log({"solver": "ddpm", "task": args.task, "dataset": ds,
-                         "omega": f"mix{args.mix_omegas}",
+                             best_of=len(mixture), sampler=args.sampler,
+                             n_steps=args.n_steps)
+                log.log({"solver": args.sampler, "task": args.task,
+                         "dataset": ds, "omega": f"mix{args.mix_omegas}",
+                         "n_steps": args.n_steps,
                          "best_of": len(mixture), **m})
             else:
                 for omega in args.omegas:
                     m = evaluate(task, ck["params"], ck["sched"], data,
                                  omega=omega, seed=args.seed,
-                                 best_of=args.best_of)
-                    log.log({"solver": "ddpm", "task": args.task, "dataset": ds,
-                             "omega": omega, "best_of": args.best_of, **m})
+                                 best_of=args.best_of, sampler=args.sampler,
+                                 n_steps=args.n_steps)
+                    log.log({"solver": args.sampler, "task": args.task,
+                             "dataset": ds, "omega": omega,
+                             "n_steps": args.n_steps,
+                             "best_of": args.best_of, **m})
         if "gd" in args.baselines:
             log.log({"solver": "gd", "task": args.task, "dataset": ds,
                      **baseline_metrics(args.task, data,

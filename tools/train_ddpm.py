@@ -22,7 +22,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", choices=["msr", "msr_temp", "msr_wf", "co",
                                        "co_analytic", "co_direct", "nu",
-                                       "nu_direct"], required=True)
+                                       "nu_direct", "nu_budget"], required=True)
     ap.add_argument("--dataset", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--epochs", type=int, default=None)
@@ -90,6 +90,12 @@ def main():
     if args.y_scale != 1.0:
         data.config["y_scale"] = args.y_scale
     if args.y_shift != 0.0:
+        # Only these tasks' decodes invert (or are invariant to) a constant
+        # label shift; anywhere else the shift silently corrupts evaluate().
+        SHIFT_AWARE = ("msr_wf", "nu_direct", "nu_budget", "co_direct")
+        if args.task not in SHIFT_AWARE:
+            ap.error(f"--y-shift is only supported for tasks {SHIFT_AWARE}: "
+                     f"task {args.task!r}'s decode does not invert the shift")
         data.config["y_shift"] = args.y_shift
     if args.proj_dim:
         data.config["proj_dim"] = args.proj_dim
