@@ -6,4 +6,6 @@ from .mtfnn import (
 from .ppo import PPOAgent, PPOConfig, train_ppo, ppo_predict, load_ppo_ckpt, orthogonal_ppo_init
 from . import gekko_oracle
 from .waterfilling import waterfilling
-from .co_exact import co_exact_solve, co_analytic_decode, co_optimal_allocation
+from .co_exact import (co_exact_solve, co_analytic_decode,
+                       co_optimal_allocation, co_soft_cost,
+                       co_ranked_decode)

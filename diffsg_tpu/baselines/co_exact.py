@@ -56,6 +56,78 @@ def co_exact_solve(X_unnorm: jnp.ndarray) -> jnp.ndarray:
     return best_Y
 
 
+def co_soft_cost(Y_raw: jnp.ndarray, X_unnorm: jnp.ndarray,
+                 tau: float = 0.05, threshold: float = 0.1,
+                 logit_temp: float = 3.0) -> jnp.ndarray:
+    """Differentiable relaxation of the CO cost at the analytic optimum.
+
+    For a hard decision D with the closed-form allocation
+    ``y_i = D_i sqrt(exec_i) / S``, ``S = sum_j D_j sqrt(exec_j)``, the cost
+    collapses to ``sum_i (1-D_i) local_i + D_i trans_i + S**2`` (the
+    ``exec_i / y_i`` terms telescope) — smooth in D with no division, so a
+    sigmoid relaxation of the decision gives a well-behaved gradient
+    everywhere.  Decision semantics follow :func:`co_analytic_decode`
+    (``D = softmax(Y) > threshold``), but the logits are row-standardized
+    to ``logit_temp`` scale first: high-guidance sampling drives |Y| to
+    O(100-1000) where the raw softmax saturates one-hot and the gradient
+    is exactly 0 (measured) — the decode only reads the row's *ordering*,
+    and standardization makes the relaxation sensitive to it at any raw
+    scale.  Used as the sampler's ``guidance_fn``
+    (diffusion.ddpm.cfg_sample objective guidance).  Returns (B,) costs.
+    """
+    z = Y_raw - jnp.mean(Y_raw, axis=1, keepdims=True)
+    z = z / (jnp.std(z, axis=1, keepdims=True) + 1e-6) * logit_temp
+    s = jax.nn.softmax(z, axis=1)
+    D = jax.nn.sigmoid((s - threshold) / tau)
+    local = X_unnorm[:, 0::3]
+    trans = X_unnorm[:, 1::3]
+    execution = X_unnorm[:, 2::3]
+    S = jnp.sum(D * jnp.sqrt(execution), axis=1)
+    return jnp.sum((1.0 - D) * local + D * trans, axis=1) + S**2
+
+
+@jax.jit
+def co_ranked_decode(Y_raw: jnp.ndarray, X_unnorm: jnp.ndarray) -> jnp.ndarray:
+    """Ranked-decision decode: the sampler's per-row node ORDERING selects
+    which of the N+1 nested top-k offload sets to use; each is costed with
+    the closed-form allocation and the cheapest wins.
+
+    Motivation (measured, docs/RESULTS.md round 3): at the reference's high
+    guidance scales the sampled state has magnitude O(100-1000), so the
+    softmax decode saturates one-hot and ~98% of draws decode to exactly one
+    offloaded node — while ~18% of oracle decisions offload 0, 2, or 3
+    nodes.  That saturation caps single-draw decision accuracy at ~0.79 no
+    matter how good the sample is, and gradient (objective-guidance) nudges
+    cannot cross it.  The row's *ordering*, however, survives saturation —
+    decoding along it recovers the multi-node decisions: single-draw
+    exceeded ratio 1.0036 at omega=5000 vs 1.025 for the analytic decode
+    on the same draws.
+
+    Objective access: N+1 closed-form cost evaluations per row — the same
+    access class as :func:`co_analytic_decode` (1 eval), the GD baseline
+    (hundreds), and best-of-N selection; the generative model contributes
+    the ranking.  Strictly per-row: safe under serving bucket padding.
+    """
+    B, n = Y_raw.shape
+    order = jnp.argsort(-Y_raw, axis=1)
+    local = X_unnorm[:, 0::3]
+    trans = X_unnorm[:, 1::3]
+    execution = X_unnorm[:, 2::3]
+    best_cost = jnp.sum(local, axis=1)            # k=0: all local
+    best_Y = jnp.zeros_like(Y_raw)
+    rows = jnp.arange(B)[:, None]
+    for k in range(1, n + 1):
+        D = jnp.zeros_like(Y_raw).at[rows, order[:, :k]].set(1.0)
+        Y = co_optimal_allocation(execution, D)
+        cost = jnp.sum((1 - D) * local
+                       + D * (trans + execution / jnp.maximum(Y, 1e-30)),
+                       axis=1)
+        better = cost < best_cost
+        best_cost = jnp.where(better, cost, best_cost)
+        best_Y = jnp.where(better[:, None], Y, best_Y)
+    return best_Y
+
+
 def co_direct_decode(Y_raw: jnp.ndarray, X_unnorm: jnp.ndarray,
                      y_scale: float = 1.0, y_shift: float = 0.0,
                      threshold: float = 0.1) -> jnp.ndarray:

@@ -98,3 +98,18 @@ def _decode_direct(Y_raw, X_unnorm, config, valid_mask=None):
 #: checkpoints; tuned omega is small like nu_direct/msr_wf (see docs/RESULTS.md).
 CO_DIRECT = _dc.replace(CO, name="co_direct", decode_with_x=_decode_direct,
                         default_omega=1.0)
+
+
+def _decode_ranked(Y_raw, X_unnorm, config, valid_mask=None):
+    from ..baselines.co_exact import co_ranked_decode
+
+    return co_ranked_decode(Y_raw, X_unnorm)
+
+
+#: CO with the ranked-decision decode: the sampled row's node ordering
+#: selects among the N+1 nested top-k offload sets, each costed closed-form
+#: (baselines.co_exact.co_ranked_decode).  Breaks the one-hot saturation
+#: ceiling of the softmax decode at high omega — single-draw exceeded ratio
+#: ~1.004 at omega=5000 vs ~1.025 for co_analytic (docs/RESULTS.md round 3).
+CO_RANKED = _dc.replace(CO, name="co_ranked", decode_with_x=_decode_ranked,
+                        default_omega=5000.0)

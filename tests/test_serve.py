@@ -176,3 +176,37 @@ def test_solve_chunked_matches_serial(solver, reference_path):
         for j, i in enumerate(range(0, 96, 32))])
     chunked = solver.solve_chunked(X, 32, omega=500.0)
     np.testing.assert_allclose(chunked, serial, atol=1e-5)
+
+
+def test_warmup_configs_compile_all_paths(reference_path):
+    """warmup(configs=[...]) pre-compiles every configured serve path (the
+    production multi-config warmup; solve afterwards hits warm executables
+    and returns correct shapes)."""
+    pt = reference_path / "ckpts" / "ddpm_nu_3u.pt"
+    if not pt.exists():
+        pytest.skip("NU ckpt missing")
+    s = Solver.from_torch_checkpoint(
+        str(pt), task="nu",
+        dataset_config={"K": 3, "P_sum": 18.0, "width": 400.0,
+                        "height": 400.0},
+        buckets=(8,),
+    )
+    s.warmup(configs=[{},
+                      {"best_of": 2, "omega": [100.0, 1000.0]},
+                      {"sampler": "ddim", "n_steps": 3}])
+    X = np.random.default_rng(0).uniform(0.1, 0.9, (5, 6)).astype(np.float32)
+    for kw in ({}, {"best_of": 2, "omega": [100.0, 1000.0]},
+               {"sampler": "ddim", "n_steps": 3}):
+        Y = s.solve(X, **kw)
+        assert Y.shape == (5, 5)
+
+
+def test_suggest_buckets():
+    from diffsg_tpu.serve import suggest_buckets
+
+    assert suggest_buckets([]) == []
+    bs = suggest_buckets([30, 60, 100, 500, 510, 520], max_buckets=4)
+    assert bs == [128, 512, 576]
+    assert max(bs) >= 520  # largest observed size never overflows
+    for b in suggest_buckets([100, 200], max_buckets=4, align=64, dp=6):
+        assert b % 6 == 0 and b % 64 == 0

@@ -105,7 +105,7 @@ def run_ppo(task_name, data, task, ckpt):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", choices=["msr", "msr_temp", "msr_wf", "co",
-                                       "co_analytic", "co_direct", "nu",
+                                       "co_analytic", "co_direct", "co_ranked", "nu",
                                        "nu_direct", "nu_budget"], required=True)
     ap.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm",
                     help="ddim enables few-step respacing via --n-steps "

@@ -21,7 +21,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", choices=["msr", "msr_temp", "msr_wf", "co",
-                                       "co_analytic", "co_direct", "nu",
+                                       "co_analytic", "co_direct", "co_ranked", "nu",
                                        "nu_direct", "nu_budget"], required=True)
     ap.add_argument("--dataset", required=True)
     ap.add_argument("--out", required=True)
