@@ -17,6 +17,9 @@ line per row.  Expected values (full test splits, TPU or CPU):
   co          co_analytic, best-of-32, 8-omega mix -> exceeded 1.0026
   co OOD      same                                 -> exceeded 1.0005
   co OOD single  plain decode, omega 5000 single   -> exceeded ~1.03
+  nu budget   budget-conditioned ckpt (condition carries P_sum/18; trained
+              on multi-budget oracle data EXCLUDING budgets 18 and 30),
+              omega 0.06 single draw -> in-dist 0.99985; 30mW OOD 0.99972
   nu direct   aug32 + centered + y_scale-8 ckpt, nu_direct decode,
               omega 0.125 single draw -> in-dist 0.9993; OOD 0.9963
               (aug2 s8 ckpt @ omega 1 -> 0.9918 / 0.9883)
@@ -103,6 +106,12 @@ def main():
         row("co OOD single-draw", "co", "ckpts/ddpm_co",
             f"{REF}/3nodes_2000samples_ood.csv", omega=5000.0)
     if "nu" in args.tasks:
+        row("nu budget-conditioned single-draw", "nu_budget",
+            "ckpts/ddpm_nu_budget",
+            f"{REF}/3u_18mW_10000samples.csv", omega=0.06)
+        row("nu budget-conditioned OOD 30mW single-draw", "nu_budget",
+            "ckpts/ddpm_nu_budget",
+            f"{REF}/3u_30mW_1000samples_ood.csv", omega=0.06)
         row("nu direct single-draw (aug32 centered)", "nu_direct",
             "ckpts/ddpm_nu_3u_aug32_s8c",
             f"{REF}/3u_18mW_10000samples.csv", omega=0.125)

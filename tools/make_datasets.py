@@ -38,6 +38,15 @@ KNOWN_DATASETS = {
                                        "--seed", "1", "--labels", "wf"],
     "80c_20w_wf_50000samples.csv": ["msr", "--samples", "50000", "--channels",
                                     "80", "--power", "20", "--labels", "wf"],
+    "8c_10w_10000samples.csv": ["msr", "--samples", "10000", "--channels",
+                                "8", "--power", "10"],
+    "8c_10w_wf_10000samples.csv": ["msr", "--samples", "10000", "--channels",
+                                   "8", "--power", "10", "--labels", "wf"],
+    "8c_20w_2000samples_ood.csv": ["msr", "--samples", "2000", "--channels",
+                                   "8", "--power", "20", "--seed", "1"],
+    "8c_20w_wf_2000samples_ood.csv": ["msr", "--samples", "2000",
+                                      "--channels", "8", "--power", "20",
+                                      "--seed", "1", "--labels", "wf"],
 }
 
 
