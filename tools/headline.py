@@ -8,6 +8,11 @@ line per row.  Expected values (full test splits, TPU or CPU):
               decode, omega 1 single draw          -> less 0.9999919
               (20w OOD -> 1.000005; labels are the true optimum in-dist)
   msr_3c      best-of-8 @ omega 500 (legacy path) -> less 0.9993
+  msr_8c wf   centered+scaled training (y_shift 1.25, y_scale 3), msr_wf
+              decode, omega 1 single draw -> less 0.99993 vs the exact
+              optimum (20w OOD -> 0.99998); completes the reference's
+              published 8c GEKKO row (its unshipped dataset's labels were
+              0.38% suboptimal; ours regenerate optimal to 9 digits)
   msr_80c wf  wf50k ckpt (50k oracle samples, y_scale 8), msr_wf decode,
               omega 8: in-dist single draw -> less 0.9962 vs the exact
               waterfilling optimum; 40w OOD -> 0.9931
@@ -84,6 +89,11 @@ def main():
             f"{REF}/3c_20w_2000samples_ood.csv", omega=1.0)
         row("msr_3c best-of-8 (legacy softmax path)", "msr", "ckpts/ddpm_msr_3c",
             f"{REF}/3c_10w_10000samples.csv", omega=500.0, best_of=8)
+        row("msr_8c wf single-draw", "msr_wf", "ckpts/ddpm_msr_8c_wf",
+            "datasets/8c_10w_wf_10000samples.csv", omega=1.0)
+        row("msr_8c wf OOD 20w single-draw", "msr_wf",
+            "ckpts/ddpm_msr_8c_wf",
+            "datasets/8c_20w_wf_2000samples_ood.csv", omega=1.0)
     if "msr80" in args.tasks:
         row("msr_80c wf50k single-draw", "msr_wf", "ckpts/ddpm_msr_80c_wf50k",
             "datasets/80c_20w_wf_10000samples.csv", omega=8.0)
