@@ -37,7 +37,6 @@ def main():
     ap.add_argument("--depth", type=int, default=8,
                     help="queue depth for the pipelined-throughput rows")
     ap.add_argument("--omega", type=float, default=None)
-    ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
