@@ -152,6 +152,25 @@ def load_nu(
 #: training budget (18 mW), so the appended condition is 1.0 in-dist.
 NU_P_REF = 18.0
 
+#: same for W-conditioned MSR models (in-dist budget 10 W).
+MSR_W_REF = 10.0
+
+
+def load_msr_budget(dataset_path: str, W: Optional[float] = None,
+                    w_ref: float = MSR_W_REF) -> TaskData:
+    """MSR loader for W-conditioned models (``msr_budget`` task): standard
+    single-W CSVs with the condition extended by ``W / w_ref`` (the MSR
+    analog of :func:`load_nu_budget`; the reference's ``cdim`` conditioning
+    capability, ``classifier_free_MSR.py:32-46``, trained for real)."""
+    td = load_msr(dataset_path, W)
+    feat = np.full((1, 1), td.config["W"] / w_ref)
+    td.X_train = np.concatenate(
+        [td.X_train, np.repeat(feat, td.X_train.shape[0], axis=0)], axis=1)
+    td.X_test = np.concatenate(
+        [td.X_test, np.repeat(feat, td.X_test.shape[0], axis=0)], axis=1)
+    td.config["w_ref"] = w_ref
+    return td
+
 
 def load_nu_budget(dataset_path: str, width: float = 400.0,
                    height: float = 400.0, P_sum: Optional[float] = None,

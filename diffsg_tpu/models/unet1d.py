@@ -264,14 +264,17 @@ class UNet1D(nn.Module):
 # Reference model-zoo constructors -------------------------------------------
 
 def unet_msr(M: int = 3, proj_dim: int = 128,
-             dims=(64, 32, 16, 8)) -> UNet1D:
+             dims=(64, 32, 16, 8), cond_extra: int = 0) -> UNet1D:
     """MSR config (``classifier_free_MSR.py:202-203``); M=3 or 80.
 
     ``proj_dim``/``dims`` default to the reference architecture; overriding
     them (framework extension, carried in checkpoint metadata via
     ``config['proj_dim']/['dims']``) scales the denoiser for wider tasks.
+    ``cond_extra`` widens the condition (e.g. +1 for the W-budget feature
+    of the ``msr_budget`` task — the same designed-but-disabled
+    conditioning capability as NU's, see :func:`unet_nu`).
     """
-    return UNet1D(input_dim=M, proj_dim=proj_dim, cond_dim=M,
+    return UNet1D(input_dim=M, proj_dim=proj_dim, cond_dim=M + cond_extra,
                   dims=tuple(dims), is_attn=(False,) * len(dims),
                   middle_attn=False, n_blocks=2)
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..data.loaders import load_msr
+from ..data.loaders import load_msr, load_msr_budget
 from ..models.unet1d import unet_msr
 from ..ops.decoders import msr_decode
 from ..ops.objectives import msr_sum_rate
@@ -138,3 +138,41 @@ MSR_TEMP = _dc.replace(MSR, name="msr_temp", decode_with_x=_decode_temp_selected
 #: MSR decode family incl. the simplex-projection candidate — pair with
 #: waterfilling-labeled datasets (see _decode_proj_selected).
 MSR_WF = _dc.replace(MSR, name="msr_wf", decode_with_x=_decode_proj_selected)
+
+
+def _unnorm_x_budget(X, config):
+    X = np.array(X, dtype=float)
+    M = config["M"]
+    mn, mx = config["scaler_min"], config["scaler_max"]
+    X[:, :M] = X[:, :M] * (mx - mn) + mn
+    X[:, M] *= config.get("w_ref", 10.0)  # budget feature -> watts
+    return X
+
+
+def _objective_budget(Y_dec, X_unnorm, config):
+    # trailing W column is conditioning only; the rate sees the gains
+    return msr_sum_rate(Y_dec, X_unnorm[:, : config["M"]])
+
+
+def _decode_wf_budget(Y_raw, X_unnorm, config, valid_mask=None):
+    return _decode_proj_selected(Y_raw, X_unnorm[:, : config["M"]], config,
+                                 valid_mask)
+
+
+#: MSR conditioned on the power budget W (condition column ``W / w_ref``):
+#: one model serves any budget — the MSR instance of the trained
+#: ``condition_C``/``cdim`` capability (see tasks/nu.py NU_BUDGET).  Pair
+#: with per-row-centered scaled training (``tools/train_msr_budget.py``;
+#: the msr_wf projection decode is invariant to the per-row W/M shift).
+MSR_BUDGET = _dc.replace(
+    MSR, name="msr_budget",
+    build_model=lambda cfg: unet_msr(cfg["M"], cfg.get("proj_dim", 128),
+                                     tuple(cfg.get("dims", (64, 32, 16, 8))),
+                                     cond_extra=1),
+    load=load_msr_budget,
+    decode_with_x=_decode_wf_budget,
+    objective=_objective_budget,
+    unnormalize_x=_unnorm_x_budget,
+    cond_dim=lambda cfg: cfg["M"] + 1,
+    default_omega=1.0,
+)

@@ -121,3 +121,31 @@ def test_budget_conditioned_training_end_to_end():
                            data_dim=5, key=jax.random.PRNGKey(7))
         out[b] = np.asarray(y0)
     assert np.abs(out[9.0] - out[36.0]).mean() > 1e-3
+
+
+def test_load_msr_budget_and_task_wiring(reference_path):
+    """MSR instance of the budget-conditioning capability (msr_budget)."""
+    from diffsg_tpu.data.loaders import load_msr, load_msr_budget
+    from diffsg_tpu.tasks import TASKS
+
+    p = str(reference_path / "datasets/3c_20w_2000samples_ood.csv")
+    td = load_msr_budget(p)
+    base = load_msr(p)
+    assert td.X_test.shape[1] == base.X_test.shape[1] + 1
+    np.testing.assert_allclose(td.X_test[:, -1], 2.0)  # W/w_ref = 20/10
+    np.testing.assert_allclose(td.X_test[:, :-1], base.X_test)
+
+    t = TASKS["msr_budget"]
+    assert t.cond_dim(td.config) == 4
+    assert t.build_model(td.config).cond_dim == 4
+    xu = t.unnormalize_x(td.X_test, td.config)
+    np.testing.assert_allclose(xu[:, -1], 20.0)
+    # objective ignores the budget column
+    import jax.numpy as jnp
+
+    from diffsg_tpu.ops.objectives import msr_sum_rate
+
+    Y = jnp.asarray(td.Y_test, jnp.float32)
+    r_task = np.asarray(t.objective(Y, jnp.asarray(xu, jnp.float32), td.config))
+    r_base = np.asarray(msr_sum_rate(Y, jnp.asarray(xu[:, :3], jnp.float32)))
+    np.testing.assert_allclose(r_task, r_base)

@@ -8,6 +8,10 @@ line per row.  Expected values (full test splits, TPU or CPU):
               decode, omega 1 single draw          -> less 0.9999919
               (20w OOD -> 1.000005; labels are the true optimum in-dist)
   msr_3c      best-of-8 @ omega 500 (legacy path) -> less 0.9993
+  msr_3c W-conditioned  one model for any W (trained on W in 5..25
+              EXCLUDING 10 and 20), omega 0.5 single draw -> 0.9999954
+              at 10w / 1.0000052 at 20w — matches the per-budget
+              specialists at budgets it never saw
   msr_8c wf   centered+scaled training (y_shift 1.25, y_scale 3), msr_wf
               decode, omega 1 single draw -> less 0.99993 vs the exact
               optimum (20w OOD -> 0.99998); completes the reference's
@@ -92,6 +96,12 @@ def main():
             f"{REF}/3c_20w_2000samples_ood.csv", omega=1.0)
         row("msr_3c best-of-8 (legacy softmax path)", "msr", "ckpts/ddpm_msr_3c",
             f"{REF}/3c_10w_10000samples.csv", omega=500.0, best_of=8)
+        row("msr_3c W-conditioned single-draw (10w unseen)", "msr_budget",
+            "ckpts/ddpm_msr_budget",
+            f"{REF}/3c_10w_10000samples.csv", omega=0.5)
+        row("msr_3c W-conditioned OOD 20w single-draw (unseen)", "msr_budget",
+            "ckpts/ddpm_msr_budget",
+            f"{REF}/3c_20w_2000samples_ood.csv", omega=0.5)
         row("msr_8c wf single-draw", "msr_wf", "ckpts/ddpm_msr_8c_wf",
             "datasets/8c_10w_wf_10000samples.csv", omega=1.0)
         row("msr_8c wf OOD 20w single-draw", "msr_wf",
