@@ -44,6 +44,7 @@ def ddim_sample(
     init_noise: Optional[jnp.ndarray] = None,
     renorm_steps: Optional[int] = None,
     valid_mask: Optional[jnp.ndarray] = None,
+    parameterization: str = "eps",
 ) -> Tuple[jnp.ndarray, None]:
     """CFG-guided DDIM over a respaced timestep sub-sequence.
 
@@ -94,6 +95,9 @@ def ddim_sample(
         y2 = jnp.concatenate([y_t, y_t], axis=0)
         eps2 = apply_fn(params, y2, tn[None], cond2, mask2)
         eps = (1.0 + omega) * eps2[B:] - omega * eps2[:B]
+        if parameterization == "x0":
+            # model predicted x0 (CFG combined in x0 space above): convert
+            eps = (y_t - jnp.sqrt(at) * eps) / jnp.sqrt(1.0 - at)
 
         # DDIM update: predict y0, then step to the previous alpha_bar
         y0_pred = (y_t - jnp.sqrt(1.0 - at) * eps) / jnp.sqrt(at)

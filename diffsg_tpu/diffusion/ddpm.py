@@ -68,8 +68,11 @@ def ddpm_loss(
     cond: jnp.ndarray,
     key: jax.Array,
     uncond_prob: float = 0.1,
+    parameterization: str = "eps",
 ) -> jnp.ndarray:
-    """CFG training loss (MSE in epsilon).
+    """CFG training loss (MSE in epsilon, or in y0 for ``parameterization=
+    "x0"`` — the x0-predicting variant; samplers convert back to epsilon,
+    see :func:`cfg_sample`).
 
     Reference: ``classifier_free_MSR.py:100-112``.  Timesteps are sampled
     per-row uniform in ``[0, T)``; the condition is dropped (masked to zero
@@ -83,8 +86,9 @@ def ddpm_loss(
     y_t = q_sample(sched, y0, t, noise)
     cond_mask = jax.random.bernoulli(k_mask, 1.0 - uncond_prob, (B, 1)).astype(y0.dtype)
     t_norm = t.astype(y0.dtype) / T
-    eps_hat = apply_fn(params, y_t, t_norm, cond, cond_mask)
-    return jnp.mean((noise - eps_hat) ** 2)
+    pred = apply_fn(params, y_t, t_norm, cond, cond_mask)
+    target = noise if parameterization == "eps" else y0
+    return jnp.mean((target - pred) ** 2)
 
 
 class SampleTrace(NamedTuple):
@@ -159,8 +163,14 @@ def cfg_sample(
     guidance_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     guidance_scale: float = 0.0,
     guidance_relative: bool = False,
+    parameterization: str = "eps",
 ) -> Tuple[jnp.ndarray, Optional[SampleTrace]]:
     """Batched CFG reverse sampler as a single ``lax.scan``.
+
+    ``parameterization``: "eps" (reference) or "x0" — the denoiser predicts
+    y0 directly; CFG combines in x0 space and the prediction is converted
+    to an equivalent epsilon before the (unchanged) reference reverse step:
+    ``eps = (y_t - sqrt(abar_i) x0_hat) / sqrt(1-abar_i)``.
 
     Args:
       apply_fn/params: the denoiser.
@@ -240,6 +250,11 @@ def cfg_sample(
             eps2 = apply_fn(params, y2, t_norm, cond2, mask2)
         eps_uncond, eps_cond = eps2[:B], eps2[B:]
         eps_cfg = (1.0 + omega) * eps_cond - omega * eps_uncond
+        if parameterization == "x0":
+            # model output was x0: the CFG combine above happened in x0
+            # space; convert to the equivalent epsilon for the reverse step
+            eps_cfg = (y_t - sched.sqrt_alphas_cumprod[i] * eps_cfg) \
+                / sched.sqrt_one_minus_alphas_cumprod[i]
         if guidance_fn is not None:
             sq1m = sched.sqrt_one_minus_alphas_cumprod[i]
             x0_hat = (y_t - sq1m * eps_cfg) / sched.sqrt_alphas_cumprod[i]

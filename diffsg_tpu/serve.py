@@ -126,17 +126,20 @@ class Solver:
 
         # `valid` is None (legacy whole-batch semantics, no buckets) or a
         # (B, 1) 1.0/0.0 mask excluding pad rows from batch-global reductions.
+        param = self.config.get("parameterization", "eps")
+
         def _single(cond, cond_unnorm, key, omega, valid):
             init, steps = _draw_noise(key, cond.shape[0])
             y0, _ = cfg_sample(apply_fn, self.params, self.sched, cond,
                                omega, self._D, init_noise=init,
-                               step_noise=steps, valid_mask=valid)
+                               step_noise=steps, valid_mask=valid,
+                               parameterization=param)
             return _decode(y0, cond_unnorm, valid)
 
         def _single_ddim(cond, cond_unnorm, key, omega, n_steps, valid):
             y0, _ = ddim_sample(apply_fn, self.params, self.sched, cond,
                                 omega, self._D, key=key, n_steps=n_steps,
-                                valid_mask=valid)
+                                valid_mask=valid, parameterization=param)
             return _decode(y0, cond_unnorm, valid)
 
         def _pick(cond, cond_unnorm, key, omegas, valid, draw):

@@ -23,18 +23,21 @@ from ..diffusion.schedule import Schedule
 from ..train.trainer import TrainConfig
 
 
-def _make_draw(apply_fn, params, sched, D, sampler: str, n_steps):
+def _make_draw(apply_fn, params, sched, D, sampler: str, n_steps,
+               parameterization: str = "eps"):
     """Uniform (cond, omega, key) -> y0 draw over the two samplers."""
     if sampler == "ddim":
         steps = n_steps or sched.T
 
         def draw(cond, omega, key, record_trace=False):
             return ddim_sample(apply_fn, params, sched, cond, omega, D,
-                               key=key, n_steps=steps)
+                               key=key, n_steps=steps,
+                               parameterization=parameterization)
     elif sampler == "ddpm":
         def draw(cond, omega, key, record_trace=False):
             return cfg_sample(apply_fn, params, sched, cond, omega, D,
-                              key=key, record_trace=record_trace)
+                              key=key, record_trace=record_trace,
+                              parameterization=parameterization)
     else:
         raise ValueError(f"unknown sampler {sampler!r}")
     return draw
@@ -74,7 +77,8 @@ class Task:
 
 #: dataset-config keys owned by the CHECKPOINT (training-time choices), not
 #: the dataset: label transforms and model-architecture overrides.
-CKPT_CONFIG_KEYS = ("y_scale", "y_shift", "proj_dim", "dims")
+CKPT_CONFIG_KEYS = ("y_scale", "y_shift", "proj_dim", "dims",
+                    "parameterization")
 
 
 def merge_ckpt_config(config: Dict, metadata: Optional[Dict]) -> Dict:
@@ -115,7 +119,8 @@ def sample_solutions(
     omega = task.default_omega if omega is None else omega
     D = task.data_dim(config)
     X_unnorm = task.unnormalize_x(X_test, config)
-    draw = _make_draw(apply_fn, params, sched, D, sampler, n_steps)
+    draw = _make_draw(apply_fn, params, sched, D, sampler, n_steps,
+                      config.get("parameterization", "eps"))
 
     # omega is a traced argument so guidance-scale grids reuse one compile.
     @jax.jit
@@ -205,7 +210,8 @@ def sample_best_of_n(
     n = len(omegas)
     D = task.data_dim(config)
     X_unnorm = task.unnormalize_x(X_test, config)
-    draw = _make_draw(apply_fn, params, sched, D, sampler, n_steps)
+    draw = _make_draw(apply_fn, params, sched, D, sampler, n_steps,
+                      config.get("parameterization", "eps"))
 
     @jax.jit
     def run(cond, cond_unnorm, key, omegas_):

@@ -63,6 +63,9 @@ class TrainConfig:
     #: to the trivial eps=0 minimum between epochs 10-20); clipping tames it
     #: without changing the reference-parity default path.
     grad_clip: Optional[float] = None
+    #: "eps" (reference) or "x0": predict y0 directly (framework extension;
+    #: samplers convert back to epsilon — see diffusion.ddpm.cfg_sample)
+    parameterization: str = "eps"
 
 
 class TrainState(NamedTuple):
@@ -106,7 +109,8 @@ def build_train_epoch(
         x, y = batch
 
         def loss_fn(p):
-            return ddpm_loss(apply_fn, p, sched, y, x, key, cfg.uncond_prob)
+            return ddpm_loss(apply_fn, p, sched, y, x, key, cfg.uncond_prob,
+                             cfg.parameterization)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)

@@ -99,3 +99,28 @@ def test_grad_clip_optimizer():
     np.testing.assert_allclose(
         float(jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree.leaves(clipped)))),
         1.0, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_synthetic_co_end_to_end_x0_parameterization():
+    """x0-prediction (framework extension): train the synthetic task with
+    parameterization='x0' and sample through the converting sampler —
+    decisions recover like the eps-parameterized model."""
+    td = validation_data_gen(600, seed=0)
+    model = UNet1D(input_dim=3, proj_dim=32, cond_dim=9, dims=(16, 8),
+                   is_attn=(False, False), middle_attn=False, n_blocks=1)
+    cfg = TrainConfig(epochs=60, batch_size=512, lr=5e-3, milestones=(30, 50),
+                      T=50, uncond_prob=0.0, seed=0, parameterization="x0")
+    params, _, sched = train_ddpm(model, td.X_train, td.Y_train, cfg,
+                                  log_every=0)
+
+    def apply_fn(p, y, t, c, m):
+        return model.apply({"params": p}, y, t, c, m)
+
+    y0, _ = cfg_sample(apply_fn, params, sched,
+                       jnp.asarray(td.X_test, jnp.float32),
+                       omega=30.0, data_dim=3, key=jax.random.PRNGKey(1),
+                       parameterization="x0")
+    Y_pred = jax.nn.softmax(y0, axis=1)
+    acc = (decision_class(np.asarray(Y_pred)) == decision_class(td.Y_test)).mean()
+    assert acc > 0.9, f"x0-param synthetic decision accuracy {acc}"

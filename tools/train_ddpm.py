@@ -41,6 +41,11 @@ def main():
                          "projection decode is invariant to per-row constant "
                          "shifts (the projection removes any c*1 component), "
                          "so decoding needs no inverse shift.")
+    ap.add_argument("--parameterization", choices=["eps", "x0"],
+                    default="eps",
+                    help="denoiser target: eps (reference) or x0 (predict "
+                         "y0 directly; carried in ckpt metadata so "
+                         "evaluate/serve convert back automatically)")
     ap.add_argument("--use-ema", action="store_true")
     ap.add_argument("--grad-clip", type=float, default=None,
                     help="global-norm gradient clip (framework extension; "
@@ -97,6 +102,8 @@ def main():
             ap.error(f"--y-shift is only supported for tasks {SHIFT_AWARE}: "
                      f"task {args.task!r}'s decode does not invert the shift")
         data.config["y_shift"] = args.y_shift
+    if args.parameterization != "eps":
+        data.config["parameterization"] = args.parameterization
     if args.proj_dim:
         data.config["proj_dim"] = args.proj_dim
     if args.dims:
@@ -110,6 +117,8 @@ def main():
                  [("epochs", args.epochs), ("lr", args.lr), ("seed", args.seed),
                   ("use_ema", args.use_ema or None),
                   ("grad_clip", args.grad_clip),
+                  ("parameterization", args.parameterization
+                   if args.parameterization != "eps" else None),
                   ("T", args.t_steps),
                   ("milestones", tuple(args.milestones)
                    if args.milestones else None)] if v is not None}
