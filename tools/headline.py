@@ -23,9 +23,13 @@ line per row.  Expected values (full test splits, TPU or CPU):
               (10k-trained ckpt: 0.9958 / 0.9926)
   msr_80c     legacy-label ckpt, msr_temp, omega 1000 -> less 0.9200 vs the
               infeasible LRH labels (97% of the feasible optimum)
-  co ranked   co_ranked decode, omega 20000 SINGLE draw -> exceeded 1.00256
-              (OOD -> 1.00170); best-of-8 4-omega mix -> 1.00051 in-dist /
-              1.00022 OOD (acc 0.981/0.962) — the round-3 headline
+  co x0 ranked  x0-parameterized ckpt + ranked decode, omega 1 SINGLE draw
+              -> exceeded 1.00192 (OOD 1.00040); best-of-8 low-omega mix
+              [0,0.5,1,1.5]x2 -> 1.0000017 in-dist (acc 0.9996) / 0.99939
+              OOD (BELOW 1: beats the grid labels) — the CO headline
+  co ranked   eps ckpt, co_ranked decode, omega 20000 single draw ->
+              exceeded 1.00256 (OOD -> 1.00170); best-of-8 4-omega mix ->
+              1.00051 in-dist / 1.00022 OOD (acc 0.981/0.962)
   co          co_analytic, best-of-32, 8-omega mix -> exceeded 1.0026
   co OOD      same                                 -> exceeded 1.0005
   co OOD single  plain decode, omega 5000 single   -> exceeded ~1.03
@@ -120,7 +124,18 @@ def main():
             "ckpts/ddpm_msr_80c",
             "datasets/80c_20w_10000samples.csv", omega=1000.0)
     co_rank_mix = [2000., 5000., 10000., 20000.] * 2
+    co_x0_mix = [0., 0.5, 1., 1.5] * 2
     if "co" in args.tasks:
+        row("co x0 ranked single-draw", "co_ranked", "ckpts/ddpm_co_x0",
+            "datasets/3nodes_50000samples_new.csv", omega=1.0)
+        row("co OOD x0 ranked single-draw", "co_ranked", "ckpts/ddpm_co_x0",
+            f"{REF}/3nodes_2000samples_ood.csv", omega=1.0)
+        row("co x0 ranked bo8 mix", "co_ranked", "ckpts/ddpm_co_x0",
+            "datasets/3nodes_50000samples_new.csv",
+            omega=co_x0_mix, best_of=len(co_x0_mix))
+        row("co OOD x0 ranked bo8 mix", "co_ranked", "ckpts/ddpm_co_x0",
+            f"{REF}/3nodes_2000samples_ood.csv",
+            omega=co_x0_mix, best_of=len(co_x0_mix))
         row("co ranked single-draw", "co_ranked", "ckpts/ddpm_co",
             "datasets/3nodes_50000samples_new.csv", omega=20000.0)
         row("co OOD ranked single-draw", "co_ranked", "ckpts/ddpm_co",
