@@ -77,11 +77,18 @@ class Solver:
     def __init__(self, task: Task, params: Any, sched: Schedule,
                  config: Dict, buckets: Optional[Sequence[int]] = None,
                  matmul_precision: Optional[str] = "highest",
-                 mesh=None):
+                 mesh=None, refine_iters: int = 0,
+                 refine_step: Optional[float] = None):
         self.task = task
         self.sched = sched
         self.config = dict(config)
         self.buckets = sorted(buckets) if buckets else None
+        # Hybrid mode: projected-gradient polish on the task objective fused
+        # after the decode (tasks.base.refine_solutions) — strictly per-row,
+        # so bucket padding and mesh sharding stay exact.  Requires the task
+        # to define a feasibility projection (raises at first compile if not).
+        self.refine_iters = int(refine_iters)
+        self.refine_step = refine_step
         # Optional device-mesh scale-out (parallel.mesh): params are placed
         # per their (dp, tp) shardings and each solve's batch is dp-sharded.
         # The sampler/decoder batch-global reductions become cross-chip
@@ -110,9 +117,17 @@ class Solver:
             # decoders lack the kwarg still work bucket-less.
             kw = {} if valid is None else {"valid_mask": valid}
             if self.task.decode_with_x is not None:
-                return self.task.decode_with_x(y0, cond_unnorm, self.config,
-                                               **kw)
-            return self.task.decode(y0, self.config, **kw)
+                dec = self.task.decode_with_x(y0, cond_unnorm, self.config,
+                                              **kw)
+            else:
+                dec = self.task.decode(y0, self.config, **kw)
+            if self.refine_iters > 0:
+                from .tasks.base import refine_solutions
+
+                dec = refine_solutions(self.task, dec, cond_unnorm,
+                                       self.config, self.refine_iters,
+                                       self.refine_step)
+            return dec
 
         def _draw_noise(key, B):
             # Row-major layout: row r's noise is a function of (key, r) only,

@@ -73,6 +73,19 @@ class Task:
     # CO analytic-allocation decode); overrides `decode` in the sample paths
     decode_with_x: Optional[Callable[[jnp.ndarray, jnp.ndarray, Dict],
                                      jnp.ndarray]] = None
+    # optional Euclidean feasibility projection in PHYSICAL solution space
+    # (identity on feasible points): enables projected-gradient refinement
+    # (ops.refine, `refine_solutions`).  Tasks whose continuous block is
+    # already closed-form optimal given the discrete decision (CO's
+    # ranked/analytic decodes) leave this None — there refinement has
+    # nothing continuous left to improve.
+    project: Optional[Callable[[jnp.ndarray, jnp.ndarray, Dict],
+                               jnp.ndarray]] = None
+    # default first-step L2 length for refine_solutions (physical units of
+    # the task's solution space, in `refine_precond` metric if set)
+    refine_step: float = 0.1
+    # optional (D,)-shaped per-dimension step scales (see ops.refine precond)
+    refine_precond: Optional[Callable[[Dict], np.ndarray]] = None
 
 
 #: dataset-config keys owned by the CHECKPOINT (training-time choices), not
@@ -143,6 +156,29 @@ def sample_solutions(
         if record_trace:
             traces.append(jax.tree.map(np.asarray, trace))
     return np.concatenate(outs), (traces if record_trace else None)
+
+
+def refine_solutions(task: Task, Y_dec: jnp.ndarray, X_unnorm: jnp.ndarray,
+                     config: Dict, iters: int,
+                     step: Optional[float] = None) -> jnp.ndarray:
+    """Hybrid diffusion + local search: polish decoded solutions with
+    ``iters`` projected-gradient steps on the exact task objective
+    (ops.refine).  Jit-safe; compose inside any sampling program.  Raises
+    for tasks without a feasibility projection (see ``Task.project``)."""
+    if task.project is None:
+        raise ValueError(
+            f"task {task.name!r} has no feasibility projection; "
+            "projected-gradient refinement is unsupported (CO's continuous "
+            "allocation is already closed-form optimal given the decision)")
+    from ..ops.refine import projected_refine
+
+    precond = (None if task.refine_precond is None
+               else task.refine_precond(config))
+    return projected_refine(
+        lambda Y: task.objective(Y, X_unnorm, config),
+        lambda Y: task.project(Y, X_unnorm, config),
+        Y_dec, iters, task.refine_step if step is None else step,
+        higher_is_better=task.higher_is_better, precond=precond)
 
 
 def select_best(decs: jnp.ndarray, scores: jnp.ndarray,
@@ -249,12 +285,19 @@ def evaluate(
     best_of: int = 1,
     sampler: str = "ddpm",
     n_steps: Optional[int] = None,
+    refine_iters: int = 0,
+    refine_step: Optional[float] = None,
 ) -> Dict[str, float]:
     """Reference metric block: objective ratio + avg diff (+ task extras).
 
     "less ratio" (maximization) / "exceeded ratio" (minimization)
     = sum(pred objective) / sum(true objective)
     (``classifier_free_MSR.py:297``, ``_CO.py:353``, ``_NU.py:360``).
+
+    ``refine_iters`` > 0 appends projected-gradient refinement
+    (``refine_solutions``) to the decoded samples — the hybrid
+    diffusion + local-search mode; report such rows as hybrid, not
+    single-draw parity.
     """
     if best_of > 1:
         Y_dec = sample_best_of_n(task, params, sched, data.X_test, data.config,
@@ -268,6 +311,12 @@ def evaluate(
         )
     X_unnorm = task.unnormalize_x(data.X_test, data.config)
     Y_true = task.unnormalize_y(data.Y_test, data.config)
+
+    if refine_iters > 0:
+        rf = jax.jit(lambda Y, X: refine_solutions(
+            task, Y, X, data.config, refine_iters, refine_step))
+        Y_dec = np.asarray(rf(jnp.asarray(Y_dec, jnp.float32),
+                              jnp.asarray(X_unnorm, jnp.float32)))
 
     pred = np.asarray(task.objective(
         jnp.asarray(Y_dec, jnp.float32), jnp.asarray(X_unnorm, jnp.float32), data.config

@@ -107,6 +107,22 @@ def _decode_proj_selected(Y_raw, X_unnorm, config, valid_mask=None):
     return jnp.where((r_proj > r_soft)[:, None], proj, soft)
 
 
+def _project(Y_dec, X_unnorm, config):
+    """Feasibility projection for refinement (ops.refine): powers onto
+    {p >= 0, sum p = W}.  The sum-rate is concave on this simplex, so
+    projected ascent converges toward the exact waterfilling optimum."""
+    from ..ops.decoders import msr_simplex_project
+
+    return msr_simplex_project(Y_dec, config["W"])
+
+
+def _project_budget(Y_dec, X_unnorm, config):
+    # per-row budget from the unnormalized condition's trailing W column
+    from ..ops.decoders import msr_simplex_project
+
+    return msr_simplex_project(Y_dec, X_unnorm[:, config["M"]:config["M"] + 1])
+
+
 def _build_model(cfg):
     return unet_msr(cfg["M"], cfg.get("proj_dim", 128),
                     tuple(cfg.get("dims", (64, 32, 16, 8))))
@@ -126,6 +142,8 @@ MSR = Task(
     # classifier_free_MSR.py:188-214: 200 epochs, T=20, Adam 5e-3, [100,150]
     train_config=TrainConfig(epochs=200, lr=5e-3, milestones=(100, 150)),
     default_omega=500.0,
+    project=_project,
+    refine_step=0.25,
 )
 
 
@@ -175,4 +193,5 @@ MSR_BUDGET = _dc.replace(
     unnormalize_x=_unnorm_x_budget,
     cond_dim=lambda cfg: cfg["M"] + 1,
     default_omega=1.0,
+    project=_project_budget,
 )

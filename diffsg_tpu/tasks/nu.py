@@ -6,6 +6,7 @@ rate :279, metrics :306-361, trainer :213-242).
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.loaders import load_nu, load_nu_budget
@@ -50,6 +51,28 @@ def _decode_direct(Y_raw, config, valid_mask=None):
                                         _np.float32))
 
 
+def _project(Y_dec, X_unnorm, config):
+    """Feasibility projection for refinement (ops.refine): UAV position
+    clipped into the service area, powers Euclidean-projected onto
+    {p >= 0, sum p = P_sum}."""
+    from ..ops.decoders import msr_simplex_project
+
+    xy = jnp.clip(Y_dec[:, :2],
+                  jnp.zeros((2,), Y_dec.dtype),
+                  jnp.asarray([config["width"], config["height"]],
+                              Y_dec.dtype))
+    P = msr_simplex_project(Y_dec[:, 2:], config["P_sum"])
+    return jnp.concatenate([xy, P], axis=1)
+
+
+def _refine_precond(config):
+    """Step scales for the mixed-units NU solution vector: coordinates move
+    ~2% of the area per unit step, powers ~2% of the budget."""
+    K = config["K"]
+    return np.asarray([config["width"] * 0.02, config["height"] * 0.02]
+                      + [config["P_sum"] * 0.02] * K, np.float32)
+
+
 NU = Task(
     name="nu",
     build_model=lambda cfg: unet_nu(cfg["K"]),
@@ -64,6 +87,9 @@ NU = Task(
     # classifier_free_NU.py:214-242: 200 epochs, T=20, Adam 4e-3, [80,200]
     train_config=TrainConfig(epochs=200, lr=4e-3, milestones=(80, 200)),
     default_omega=500.0,
+    project=_project,
+    refine_step=1.0,
+    refine_precond=_refine_precond,
 )
 
 

@@ -104,8 +104,9 @@ def run_ppo(task_name, data, task, ckpt):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", choices=["msr", "msr_temp", "msr_wf", "co",
-                                       "co_analytic", "co_direct", "co_ranked", "nu",
+    ap.add_argument("--task", choices=["msr", "msr_temp", "msr_wf",
+                                       "msr_budget", "co", "co_analytic",
+                                       "co_direct", "co_ranked", "nu",
                                        "nu_direct", "nu_budget"], required=True)
     ap.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm",
                     help="ddim enables few-step respacing via --n-steps "
@@ -127,6 +128,13 @@ def main():
                     help="per-candidate guidance mixture for best-of (tiled "
                          "to --best-of candidates); overrides --omegas for "
                          "the candidate draws")
+    ap.add_argument("--refine-iters", type=int, default=0,
+                    help="projected-gradient refinement steps on the task "
+                         "objective after decoding (hybrid diffusion + "
+                         "local-search mode; tasks.base.refine_solutions)")
+    ap.add_argument("--refine-step", type=float, default=None,
+                    help="first-step length for --refine-iters (default: "
+                         "the task's tuned refine_step)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -166,20 +174,25 @@ def main():
                 m = evaluate(task, ck["params"], ck["sched"], data,
                              omega=mixture, seed=args.seed,
                              best_of=len(mixture), sampler=args.sampler,
-                             n_steps=args.n_steps)
+                             n_steps=args.n_steps,
+                             refine_iters=args.refine_iters,
+                             refine_step=args.refine_step)
                 log.log({"solver": args.sampler, "task": args.task,
                          "dataset": ds, "omega": f"mix{args.mix_omegas}",
-                         "n_steps": args.n_steps,
+                         "n_steps": args.n_steps, "refine": args.refine_iters,
                          "best_of": len(mixture), **m})
             else:
                 for omega in args.omegas:
                     m = evaluate(task, ck["params"], ck["sched"], data,
                                  omega=omega, seed=args.seed,
                                  best_of=args.best_of, sampler=args.sampler,
-                                 n_steps=args.n_steps)
+                                 n_steps=args.n_steps,
+                                 refine_iters=args.refine_iters,
+                                 refine_step=args.refine_step)
                     log.log({"solver": args.sampler, "task": args.task,
                              "dataset": ds, "omega": omega,
                              "n_steps": args.n_steps,
+                             "refine": args.refine_iters,
                              "best_of": args.best_of, **m})
         if "gd" in args.baselines:
             log.log({"solver": "gd", "task": args.task, "dataset": ds,
