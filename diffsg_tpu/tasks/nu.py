@@ -67,10 +67,27 @@ def _project(Y_dec, X_unnorm, config):
 
 def _refine_precond(config):
     """Step scales for the mixed-units NU solution vector: coordinates move
-    ~2% of the area per unit step, powers ~2% of the budget."""
+    ~2% of the area per unit step, powers ~2% of the budget (falls back to
+    the budget-conditioned reference scale when P_sum is per-row)."""
     K = config["K"]
+    p = config.get("P_sum") or config.get("p_ref", 18.0)
     return np.asarray([config["width"] * 0.02, config["height"] * 0.02]
-                      + [config["P_sum"] * 0.02] * K, np.float32)
+                      + [p * 0.02] * K, np.float32)
+
+
+def _project_budget(Y_dec, X_unnorm, config):
+    """Per-row-budget projection for ``nu_budget``: each row's powers land
+    on ITS OWN simplex {p >= 0, sum p = P_row}, read from the trailing
+    unnormalized condition column (mW)."""
+    from ..ops.decoders import msr_simplex_project
+
+    K = config["K"]
+    xy = jnp.clip(Y_dec[:, :2],
+                  jnp.zeros((2,), Y_dec.dtype),
+                  jnp.asarray([config["width"], config["height"]],
+                              Y_dec.dtype))
+    P = msr_simplex_project(Y_dec[:, 2:], X_unnorm[:, 2 * K:2 * K + 1])
+    return jnp.concatenate([xy, P], axis=1)
 
 
 NU = Task(
@@ -131,4 +148,5 @@ NU_BUDGET = _dc.replace(
     unnormalize_x=_unnorm_x_budget,
     cond_dim=lambda cfg: 2 * cfg["K"] + 1,
     default_omega=0.125,
+    project=_project_budget,
 )

@@ -210,3 +210,42 @@ def test_suggest_buckets():
     assert max(bs) >= 520  # largest observed size never overflows
     for b in suggest_buckets([100, 200], max_buckets=4, align=64, dp=6):
         assert b % 6 == 0 and b % 64 == 0
+
+
+def test_solver_refine_improves_and_composes(solver, reference_path):
+    """Solver(refine_iters=K) appends the fused projected-gradient polish
+    (ops.refine) to the decode: per-row never worse under the task
+    objective, feasibility exact, and the per-row property survives
+    bucketed padding and the mesh path."""
+    import jax.numpy as jnp
+
+    from diffsg_tpu.ops import nu_rate
+    from diffsg_tpu.parallel import make_mesh
+
+    pt = str(reference_path / "ckpts" / "ddpm_nu_3u.pt")
+    cfg = {"K": 3, "P_sum": 18.0, "width": 400.0, "height": 400.0}
+    td = load_nu(str(reference_path / "datasets" / "3u_18mW_10000samples.csv"))
+    X = np.asarray(td.X_test[:20])
+    Xu = np.array(X)
+    Xu[:, 0::2] *= 400
+    Xu[:, 1::2] *= 400
+
+    refined = Solver.from_torch_checkpoint(pt, task="nu", dataset_config=cfg,
+                                           refine_iters=25)
+    Y0 = solver.solve(X, seed=11)          # module solver: refine_iters=0
+    Y1 = refined.solve(X, seed=11)
+    r0 = np.asarray(nu_rate(jnp.asarray(Y0), jnp.asarray(Xu)))
+    r1 = np.asarray(nu_rate(jnp.asarray(Y1), jnp.asarray(Xu)))
+    assert (r1 >= r0 - 1e-6).all() and r1.mean() > r0.mean()
+    np.testing.assert_allclose(Y1[:, 2:].sum(1), 18.0, rtol=1e-4)
+    assert Y1[:, 2:].min() >= -1e-5
+    assert Y1[:, :2].min() >= 0 and Y1[:, :2].max() <= 400
+
+    # refine is strictly per-row: meshed + bucketed == plain within the
+    # pad-invariance tolerance of the underlying sampler
+    meshed = Solver.from_torch_checkpoint(pt, task="nu", dataset_config=cfg,
+                                          buckets=(32,),
+                                          mesh=make_mesh(8, tp=2),
+                                          refine_iters=25)
+    Ym = meshed.solve(X, seed=11)
+    np.testing.assert_allclose(Ym, Y1, rtol=5e-3, atol=5e-2)

@@ -42,8 +42,12 @@ line per row.  Expected values (full test splits, TPU or CPU):
   nu          best ckpt, best-of-32, 8-omega mix   -> less 1.234
   nu OOD bo32 best ckpt, best-of-32, 8-omega mix   -> less 1.233
   nu OOD aug  legacy augmented ckpt, single @ omega 2000 -> less 0.9058
+  hybrid      single draw + 50 projected-gradient refine steps
+              (ops.refine; objective access like the GD/GEKKO baselines):
+              msr_80c 1.0000005 / 1.0000008 (residual closed);
+              nu budget 1.6432 / 1.6565 (beats the grid labels by ~64%)
 
-Usage:  python tools/headline.py [--tasks msr co nu msr80] [--cpu]
+Usage:  python tools/headline.py [--tasks msr co nu msr80 hybrid] [--cpu]
 """
 
 import argparse
@@ -59,8 +63,8 @@ REF = "/root/reference/datasets"
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tasks", nargs="+",
-                    default=["msr", "msr80", "co", "nu"],
-                    choices=["msr", "msr80", "co", "nu"])
+                    default=["msr", "msr80", "co", "nu", "hybrid"],
+                    choices=["msr", "msr80", "co", "nu", "hybrid"])
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -178,6 +182,26 @@ def main():
             omega=nu_mix, best_of=len(nu_mix))
         row("nu OOD augmented", "nu", "ckpts/ddpm_nu_3u_aug",
             f"{REF}/3u_30mW_1000samples_ood.csv", omega=2000.0)
+    if "hybrid" in args.tasks:
+        # hybrid diffusion + local search (ops.refine): single draw + 50
+        # projected-gradient steps on the exact objective (RESULTS.md
+        # "Hybrid diffusion + local search").  Uses objective access like
+        # the GD/GEKKO baselines — reported apart from pure parity rows.
+        row("hybrid msr_80c wf50k +refine50", "msr_wf",
+            "ckpts/ddpm_msr_80c_wf50k",
+            "datasets/80c_20w_wf_10000samples.csv", omega=8.0,
+            refine_iters=50)
+        row("hybrid msr_80c OOD 40w +refine50", "msr_wf",
+            "ckpts/ddpm_msr_80c_wf50k",
+            "datasets/80c_40w_wf_2000samples_ood.csv", omega=8.0,
+            refine_iters=50)
+        row("hybrid nu budget +refine50", "nu_budget",
+            "ckpts/ddpm_nu_budget",
+            f"{REF}/3u_18mW_10000samples.csv", omega=0.06, refine_iters=50)
+        row("hybrid nu budget OOD 30mW +refine50", "nu_budget",
+            "ckpts/ddpm_nu_budget",
+            f"{REF}/3u_30mW_1000samples_ood.csv", omega=0.06,
+            refine_iters=50)
 
 
 if __name__ == "__main__":
