@@ -1,0 +1,139 @@
+"""Hybrid-oracle data engine: refine NU training labels in place.
+
+The round-3 hybrid result (docs/RESULTS.md) shows 50 projected-gradient
+steps lift NU solutions ~1.64x above the oracle grid labels — but that
+serving mode needs objective access at request time.  This tool moves the
+refinement to DATA time instead: every training label (grid-search output,
+``noma_uav_gen.py``-style) is replaced by the best of {label seed, N random
+feasible starts} after ``--iters`` steps of ``ops.refine.projected_refine``
+on the exact NOMA-SIC rate.  A model retrained on the refined CSVs then
+emits near-refined-optimal solutions in a PURE single draw — no objective,
+no gradients, no extra latency at serve time.
+
+Reads the two NU training sources (13-col multi-budget CSV from
+``tools/make_datasets.py nu-budget``; 12-col reference-format in-dist CSV)
+and writes refined copies in the identical format (rate column updated, all
+other columns byte-identical), so ``tools/train_nu_budget.py`` consumes
+them unchanged.
+
+Usage:
+  python tools/refine_labels.py --iters 300 --starts 16 \
+      --budget-in datasets/3u_budget9-36_10000samples.csv \
+      --budget-out datasets/3u_budget9-36_10000samples_refined.csv \
+      --indist-in /root/reference/datasets/3u_18mW_10000samples.csv \
+      --indist-out datasets/3u_18mW_10000samples_refined.csv
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def refine_rows(coords, Y0, P_row, iters, starts, seed, width, height):
+    """Refine labels ``Y0`` (B,2+K) for users ``coords`` (B,2K) under
+    per-row budgets ``P_row`` (B,).  Returns (Y_best, rate_best)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffsg_tpu.ops.decoders import msr_simplex_project
+    from diffsg_tpu.ops.objectives import nu_rate
+    from diffsg_tpu.ops.refine import projected_refine
+
+    coords = jnp.asarray(coords, jnp.float32)
+    P_col = jnp.asarray(P_row, jnp.float32)[:, None]
+    B, K = Y0.shape[0], Y0.shape[1] - 2
+
+    obj = lambda Y: nu_rate(Y, coords)
+
+    def proj(Y):
+        xy = jnp.clip(Y[:, :2], jnp.zeros((2,), Y.dtype),
+                      jnp.asarray([width, height], Y.dtype))
+        P = msr_simplex_project(Y[:, 2:], P_col)
+        return jnp.concatenate([xy, P], axis=1)
+
+    precond = jnp.asarray([width * 0.02, height * 0.02]
+                          + [float(np.mean(P_row)) * 0.02] * K, jnp.float32)
+
+    refine = jax.jit(lambda Y: projected_refine(
+        obj, proj, Y, iters, 1.0, higher_is_better=True, precond=precond))
+
+    def rand_start(key):
+        kxy, kp = jax.random.split(key)
+        xy = jax.random.uniform(kxy, (B, 2), jnp.float32) * jnp.asarray(
+            [width, height], jnp.float32)
+        P = jax.random.uniform(kp, (B, K), jnp.float32)
+        return proj(jnp.concatenate([xy, P], axis=1))
+
+    best = refine(jnp.asarray(Y0, jnp.float32))
+    best_r = obj(best)
+    key = jax.random.PRNGKey(seed)
+    for i in range(starts):
+        Yi = refine(rand_start(jax.random.fold_in(key, i)))
+        ri = obj(Yi)
+        take = ri > best_r
+        best = jnp.where(take[:, None], Yi, best)
+        best_r = jnp.where(take, ri, best_r)
+    return np.asarray(best, np.float64), np.asarray(best_r, np.float64)
+
+
+def process(path_in, path_out, iters, starts, seed, width, height, P_fixed):
+    import pandas as pd
+
+    raw = np.array(pd.read_csv(path_in, header=None))
+    ncol = raw.shape[1]
+    assert ncol in (12, 13), f"unexpected column count {ncol} in {path_in}"
+    coords, Y0 = raw[:, :6], raw[:, 6:11]
+    P_row = raw[:, 12] if ncol == 13 else np.full(raw.shape[0], P_fixed)
+    old_rate = raw[:, 11]
+
+    Y, R = refine_rows(coords, Y0, P_row, iters, starts, seed, width, height)
+    out = raw.copy()
+    out[:, 6:11] = Y
+    out[:, 11] = R
+    np.savetxt(path_out, out, delimiter=",", fmt="%.18e")
+    return {"file": str(path_out), "rows": int(raw.shape[0]),
+            "mean_ratio": float(np.mean(R / old_rate)),
+            "min_ratio": float(np.min(R / old_rate)),
+            "frac_improved": float(np.mean(R > old_rate + 1e-12))}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=300)
+    ap.add_argument("--starts", type=int, default=16,
+                    help="random multi-starts per row (label seed always on)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--budget-in",
+                    default="datasets/3u_budget9-36_10000samples.csv")
+    ap.add_argument("--budget-out",
+                    default="datasets/3u_budget9-36_10000samples_refined.csv")
+    ap.add_argument("--indist-in",
+                    default="/root/reference/datasets/3u_18mW_10000samples.csv")
+    ap.add_argument("--indist-out",
+                    default="datasets/3u_18mW_10000samples_refined.csv")
+    ap.add_argument("--p-indist", type=float, default=18.0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    for src, dst, pfix in ((args.budget_in, args.budget_out, None),
+                           (args.indist_in, args.indist_out, args.p_indist)):
+        stats = process(src, dst, args.iters, args.starts, args.seed,
+                        400.0, 400.0, pfix)
+        print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()
