@@ -1,0 +1,67 @@
+"""Hybrid-oracle data engine (tools/refine_labels.py): refined training
+labels must keep the CSV contract (format, conditions passed through,
+feasible labels, rate column consistent) while strictly improving the
+objective."""
+
+import numpy as np
+import pytest
+
+from diffsg_tpu.ops.objectives import nu_rate
+
+
+def _toy_csv(path, rows=12, ncol=13, seed=0):
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(0, 400, (rows, 6))
+    uav = rng.uniform(100, 300, (rows, 2))
+    budgets = rng.choice([9.0, 18.0, 27.0], rows)
+    P = np.full((rows, 3), 1.0 / 3.0) * budgets[:, None]  # uniform split
+    import jax.numpy as jnp
+
+    rate = np.asarray(nu_rate(
+        jnp.asarray(np.concatenate([uav, P], axis=1), jnp.float32),
+        jnp.asarray(coords, jnp.float32)), float)
+    cols = [coords, uav, P, rate[:, None]]
+    if ncol == 13:
+        cols.append(budgets[:, None])
+    np.savetxt(path, np.concatenate(cols, axis=1), delimiter=",", fmt="%.18e")
+    return budgets
+
+
+@pytest.mark.parametrize("ncol", [13, 12])
+def test_refine_labels_process(tmp_path, ncol):
+    from tools.refine_labels import process
+
+    src = tmp_path / "src.csv"
+    dst = tmp_path / "dst.csv"
+    budgets = _toy_csv(src, ncol=ncol)
+    if ncol == 12:
+        budgets = np.full_like(budgets, 18.0)
+
+    stats = process(str(src), str(dst), iters=40, starts=2, seed=0,
+                    width=400.0, height=400.0, P_fixed=18.0)
+    assert stats["rows"] == 12
+    assert stats["frac_improved"] == 1.0  # uniform split is far from optimal
+    assert stats["mean_ratio"] > 1.0
+
+    raw = np.loadtxt(src, delimiter=",")
+    out = np.loadtxt(dst, delimiter=",")
+    assert out.shape == raw.shape
+    # conditions (and the budget column) pass through untouched (1-ULP
+    # tolerance: the tool parses with pandas, the check with np.loadtxt,
+    # and their float parsers can differ in the last bit)
+    np.testing.assert_allclose(out[:, :6], raw[:, :6], rtol=1e-15)
+    if ncol == 13:
+        np.testing.assert_allclose(out[:, 12], raw[:, 12], rtol=1e-15)
+    # refined labels feasible: position in the area, powers on the budget
+    # simplex (per-row budget for 13-col, fixed 18 mW for 12-col)
+    assert out[:, 6].min() >= 0 and out[:, 6].max() <= 400
+    assert out[:, 7].min() >= 0 and out[:, 7].max() <= 400
+    assert out[:, 8:11].min() >= -1e-5
+    np.testing.assert_allclose(out[:, 8:11].sum(axis=1), budgets, rtol=1e-5)
+    # rate column consistent with the refined label and >= the original
+    import jax.numpy as jnp
+
+    r = np.asarray(nu_rate(jnp.asarray(out[:, 6:11], jnp.float32),
+                           jnp.asarray(out[:, :6], jnp.float32)), float)
+    np.testing.assert_allclose(out[:, 11], r, rtol=1e-4)
+    assert np.all(out[:, 11] >= raw[:, 11])
