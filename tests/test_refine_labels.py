@@ -65,3 +65,68 @@ def test_refine_labels_process(tmp_path, ncol):
                            jnp.asarray(out[:, :6], jnp.float32)), float)
     np.testing.assert_allclose(out[:, 11], r, rtol=1e-4)
     assert np.all(out[:, 11] >= raw[:, 11])
+
+
+def test_refine_rows_model_seed_tie_break():
+    """Expert-iteration selection: the model's refined basin is kept when
+    within tie_eps of the multistart best, dropped when clearly worse."""
+    from tools.refine_labels import refine_rows
+
+    rng = np.random.default_rng(3)
+    rows = 8
+    coords = rng.uniform(0, 400, (rows, 6))
+    uav = rng.uniform(100, 300, (rows, 2))
+    P = np.full((rows, 3), 6.0)  # uniform split of 18 mW
+    Y0 = np.concatenate([uav, P], axis=1)
+    P_row = np.full(rows, 18.0)
+
+    # model seed == label seed -> identical basin, rm == best_r of the
+    # label arm; with zero random starts every row must take the model
+    Y, R, frac = refine_rows(coords, Y0, P_row, iters=30, starts=0, seed=0,
+                             width=400.0, height=400.0, model_Y0=Y0.copy(),
+                             tie_eps=0.0)
+    assert frac == 1.0
+
+    # a deliberately terrible model seed (corner, all power on one user)
+    # loses to the label basin at tight eps on every row...
+    bad = np.concatenate([np.full((rows, 2), 399.0),
+                          np.concatenate([np.full((rows, 1), 18.0),
+                                          np.zeros((rows, 2))], axis=1)],
+                         axis=1)
+    Y2, R2, frac_bad = refine_rows(coords, Y0, P_row, iters=3, starts=0,
+                                   seed=0, width=400.0, height=400.0,
+                                   model_Y0=bad, tie_eps=1e-6)
+    # ...and a huge eps accepts it everywhere (sanity of the eps knob)
+    Y3, R3, frac_all = refine_rows(coords, Y0, P_row, iters=3, starts=0,
+                                   seed=0, width=400.0, height=400.0,
+                                   model_Y0=bad, tie_eps=1.0)
+    assert frac_bad < frac_all == 1.0
+    # selection never lowers the recorded rate below (1-eps)*best
+    assert np.all(R2 >= (1 - 1e-6) * np.maximum(R2, R3))
+
+
+def test_process_model_seed_smoke(tmp_path):
+    """End-to-end --model-seed path against the committed generation-1
+    checkpoint (tiny row count; CPU)."""
+    import pathlib
+
+    ckpt = pathlib.Path("ckpts/ddpm_nu_budget_refined")
+    if not ckpt.is_dir():
+        import pytest as _pytest
+
+        _pytest.skip("generation-1 checkpoint not present")
+    from tools.refine_labels import process
+
+    src = tmp_path / "src.csv"
+    dst = tmp_path / "dst.csv"
+    _toy_csv(src, rows=6, ncol=13, seed=1)
+    stats = process(str(src), str(dst), iters=20, starts=1, seed=0,
+                    width=400.0, height=400.0, P_fixed=18.0,
+                    model_ckpt=str(ckpt), model_omega=0.5, tie_eps=0.004)
+    assert stats["rows"] == 6
+    assert 0.0 <= stats["frac_model_basin"] <= 1.0
+    out = np.loadtxt(dst, delimiter=",")
+    # labels stay feasible under the per-row budget
+    budgets = np.loadtxt(src, delimiter=",")[:, 12]
+    np.testing.assert_allclose(out[:, 8:11].sum(axis=1), budgets, rtol=1e-5)
+    assert out[:, 8:11].min() >= -1e-5

@@ -16,12 +16,26 @@ and writes refined copies in the identical format (rate column updated, all
 other columns byte-identical), so ``tools/train_nu_budget.py`` consumes
 them unchanged.
 
+Expert iteration (generation 2+, ``--model-seed CKPT``): the remaining gap
+between the retrained model's pure draw and the refined-label ceiling is a
+FITTING gap — multistart refinement picks whichever near-tied basin wins by
+a hair, so the label field jumps between basins on near-identical
+conditions and the continuous network cannot represent it.  With
+``--model-seed`` the previous generation's own single draw is refined and
+becomes the PREFERRED label whenever its rate is within ``--tie-eps`` of
+the multistart best: rows keep the basin the network already represents
+smoothly unless jumping is worth more than the tolerance.  This trades an
+eps of label ceiling for a representable (self-consistent) solution field —
+the classic expert-iteration move, with the projected-gradient refiner as
+the expert.
+
 Usage:
   python tools/refine_labels.py --iters 300 --starts 16 \
       --budget-in datasets/3u_budget9-36_10000samples.csv \
       --budget-out datasets/3u_budget9-36_10000samples_refined.csv \
       --indist-in /root/reference/datasets/3u_18mW_10000samples.csv \
-      --indist-out datasets/3u_18mW_10000samples_refined.csv
+      --indist-out datasets/3u_18mW_10000samples_refined.csv \
+      [--model-seed ckpts/ddpm_nu_budget_refined --tie-eps 0.004]
 """
 
 import argparse
@@ -34,9 +48,15 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-def refine_rows(coords, Y0, P_row, iters, starts, seed, width, height):
+def refine_rows(coords, Y0, P_row, iters, starts, seed, width, height,
+                model_Y0=None, tie_eps=0.0):
     """Refine labels ``Y0`` (B,2+K) for users ``coords`` (B,2K) under
-    per-row budgets ``P_row`` (B,).  Returns (Y_best, rate_best)."""
+    per-row budgets ``P_row`` (B,).  ``model_Y0`` (B,2+K), if given, is a
+    feasible draw from the previous-generation model; its refined result is
+    preferred over the multistart best whenever within ``tie_eps``
+    (relative) of it.  Returns (Y_best, rate_best, frac_model) where
+    ``frac_model`` is the fraction of rows labeled from the model's basin
+    (0.0 when ``model_Y0`` is None)."""
     import jax
     import jax.numpy as jnp
 
@@ -78,20 +98,72 @@ def refine_rows(coords, Y0, P_row, iters, starts, seed, width, height):
         take = ri > best_r
         best = jnp.where(take[:, None], Yi, best)
         best_r = jnp.where(take, ri, best_r)
-    return np.asarray(best, np.float64), np.asarray(best_r, np.float64)
+    frac_model = 0.0
+    if model_Y0 is not None:
+        Ym = refine(proj(jnp.asarray(model_Y0, jnp.float32)))
+        rm = obj(Ym)
+        # keep the network's own (representable) basin unless the
+        # multistart best beats it by more than the tolerance
+        take_m = rm >= (1.0 - tie_eps) * jnp.maximum(rm, best_r)
+        best = jnp.where(take_m[:, None], Ym, best)
+        best_r = jnp.where(take_m, rm, best_r)
+        frac_model = float(jnp.mean(take_m.astype(jnp.float32)))
+    return (np.asarray(best, np.float64), np.asarray(best_r, np.float64),
+            frac_model)
 
 
-def process(path_in, path_out, iters, starts, seed, width, height, P_fixed):
+def model_draws(coords, P_row, model_ckpt, omega, width, height, seed=0):
+    """Single decoded draw of the (budget-conditioned) previous-generation
+    model for every raw row: conditions built exactly as
+    ``tools/train_nu_budget.py`` normalizes them, sampled per budget group
+    (the per-row-feasibility decode needs a scalar ``P_sum`` per call).
+    Returns feasible physical-unit solutions (B, 2+K)."""
+    from diffsg_tpu.tasks import TASKS
+    from diffsg_tpu.tasks.base import merge_ckpt_config, sample_solutions
+    from diffsg_tpu.utils import load_checkpoint
+
+    task = TASKS["nu_budget"]
+    ck = load_checkpoint(model_ckpt)
+    p_ref = 18.0
+    X = coords.astype(float).copy()
+    X[:, 0::2] /= width
+    X[:, 1::2] /= height
+    X = np.concatenate([X, np.asarray(P_row, float)[:, None] / p_ref], axis=1)
+
+    out = np.empty((coords.shape[0], 5), np.float64)
+    for p in np.unique(np.asarray(P_row, float)):
+        idx = np.nonzero(np.asarray(P_row, float) == p)[0]
+        config = {"width": width, "height": height, "K": 3,
+                  "P_sum": float(p), "p_ref": p_ref}
+        merge_ckpt_config(config, ck.get("metadata"))
+        dec, _ = sample_solutions(task, ck["params"], ck["sched"], X[idx],
+                                  config, omega=omega, batch_size=4096,
+                                  seed=seed)
+        out[idx] = np.asarray(dec, np.float64)
+    return out
+
+
+def process(path_in, path_out, iters, starts, seed, width, height, P_fixed,
+            model_ckpt=None, model_omega=0.5, tie_eps=0.004):
     import pandas as pd
 
     raw = np.array(pd.read_csv(path_in, header=None))
     ncol = raw.shape[1]
     assert ncol in (12, 13), f"unexpected column count {ncol} in {path_in}"
     coords, Y0 = raw[:, :6], raw[:, 6:11]
-    P_row = raw[:, 12] if ncol == 13 else np.full(raw.shape[0], P_fixed)
+    if ncol == 12:
+        assert P_fixed is not None, (
+            f"{path_in} has no budget column (12-col reference format); "
+            "pass its fixed budget via --p-indist")
+    P_row = raw[:, 12] if ncol == 13 else np.full(raw.shape[0], float(P_fixed))
     old_rate = raw[:, 11]
 
-    Y, R = refine_rows(coords, Y0, P_row, iters, starts, seed, width, height)
+    m_Y0 = (None if model_ckpt is None else
+            model_draws(coords, P_row, model_ckpt, model_omega, width,
+                        height, seed=seed))
+    Y, R, frac_model = refine_rows(coords, Y0, P_row, iters, starts, seed,
+                                   width, height, model_Y0=m_Y0,
+                                   tie_eps=tie_eps)
     out = raw.copy()
     out[:, 6:11] = Y
     out[:, 11] = R
@@ -99,7 +171,8 @@ def process(path_in, path_out, iters, starts, seed, width, height, P_fixed):
     return {"file": str(path_out), "rows": int(raw.shape[0]),
             "mean_ratio": float(np.mean(R / old_rate)),
             "min_ratio": float(np.min(R / old_rate)),
-            "frac_improved": float(np.mean(R > old_rate + 1e-12))}
+            "frac_improved": float(np.mean(R > old_rate + 1e-12)),
+            "frac_model_basin": frac_model}
 
 
 def main():
@@ -117,6 +190,13 @@ def main():
     ap.add_argument("--indist-out",
                     default="datasets/3u_18mW_10000samples_refined.csv")
     ap.add_argument("--p-indist", type=float, default=18.0)
+    ap.add_argument("--model-seed", default=None,
+                    help="previous-generation nu_budget ckpt dir; its "
+                         "refined single draw becomes the preferred label "
+                         "within --tie-eps of the multistart best "
+                         "(expert iteration)")
+    ap.add_argument("--model-omega", type=float, default=0.5)
+    ap.add_argument("--tie-eps", type=float, default=0.004)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -131,7 +211,8 @@ def main():
     for src, dst, pfix in ((args.budget_in, args.budget_out, None),
                            (args.indist_in, args.indist_out, args.p_indist)):
         stats = process(src, dst, args.iters, args.starts, args.seed,
-                        400.0, 400.0, pfix)
+                        400.0, 400.0, pfix, model_ckpt=args.model_seed,
+                        model_omega=args.model_omega, tie_eps=args.tie_eps)
         print(json.dumps(stats))
 
 
