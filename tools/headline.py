@@ -35,8 +35,9 @@ line per row.  Expected values (full test splits, TPU or CPU):
   co OOD single  plain decode, omega 5000 single   -> exceeded ~1.03
   nu self-improved  budget-conditioned ckpt RETRAINED on refined labels
               (tools/refine_labels.py), omega 0.5 PURE single draw ->
-              in-dist 1.6580 / 30mW OOD 1.6667 vs the original grid
-              labels — no objective access at serve time
+              gen 1: in-dist 1.6580 / 30mW OOD 1.6667 vs the original
+              grid labels — no objective access at serve time;
+              gen 2 (expert iteration, --model-seed): 1.6589 / 1.6685
   nu budget   budget-conditioned ckpt (condition carries P_sum/18; trained
               on multi-budget oracle data EXCLUDING budgets 18 and 30),
               omega 0.06 single draw -> in-dist 0.99985; 30mW OOD 0.99972
@@ -166,6 +167,14 @@ def main():
         # self-improved model (tools/refine_labels.py data engine): trained
         # on refined labels; PURE single draw beats the grid labels ~1.65x
         # with no objective access at serve time (docs/RESULTS.md).
+        # Generation 2 (--model-seed expert iteration: labels snapped to the
+        # gen-1 model's own refined basins) is the NU headline.
+        row("nu self-improved gen2 single-draw", "nu_budget",
+            "ckpts/ddpm_nu_budget_refined2",
+            f"{REF}/3u_18mW_10000samples.csv", omega=0.5)
+        row("nu self-improved gen2 OOD 30mW single-draw", "nu_budget",
+            "ckpts/ddpm_nu_budget_refined2",
+            f"{REF}/3u_30mW_1000samples_ood.csv", omega=0.5)
         row("nu self-improved single-draw", "nu_budget",
             "ckpts/ddpm_nu_budget_refined",
             f"{REF}/3u_18mW_10000samples.csv", omega=0.5)
