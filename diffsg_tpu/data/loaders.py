@@ -156,6 +156,27 @@ NU_P_REF = 18.0
 MSR_W_REF = 10.0
 
 
+def load_nu_geo(dataset_path: str, width: float = 400.0,
+                height: float = 400.0, P_sum: Optional[float] = None,
+                p_ref: float = NU_P_REF, w_ref: float = 400.0,
+                h_ref: float = 400.0) -> TaskData:
+    """NU loader for the universal (budget + geometry conditioned)
+    ``nu_geo`` task: standard single-config 12-column CSVs with the
+    condition extended by ``[P_sum/p_ref, width/w_ref, height/h_ref]`` so
+    the denoiser SEES the power budget and the service-area size.  The
+    mixed-geometry 15-column training CSVs (``make_datasets.py nu-geo``)
+    are consumed by ``tools/train_nu_geo.py`` directly."""
+    td = load_nu(dataset_path, width, height, P_sum)
+    feat = np.array([[td.config["P_sum"] / p_ref, width / w_ref,
+                      height / h_ref]])
+    td.X_train = np.concatenate(
+        [td.X_train, np.repeat(feat, td.X_train.shape[0], axis=0)], axis=1)
+    td.X_test = np.concatenate(
+        [td.X_test, np.repeat(feat, td.X_test.shape[0], axis=0)], axis=1)
+    td.config.update({"p_ref": p_ref, "w_ref": w_ref, "h_ref": h_ref})
+    return td
+
+
 def load_msr_budget(dataset_path: str, W: Optional[float] = None,
                     w_ref: float = MSR_W_REF) -> TaskData:
     """MSR loader for W-conditioned models (``msr_budget`` task): standard

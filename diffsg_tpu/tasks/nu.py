@@ -150,3 +150,81 @@ NU_BUDGET = _dc.replace(
     default_omega=0.125,
     project=_project_budget,
 )
+
+
+# --- nu_geo: the universal NU solver (budget + field geometry conditioned) --
+
+def _unnorm_x_geo(X, config):
+    """Condition layout: [qx/W_row, qy/H_row interleaved (2K), P/p_ref,
+    W/w_ref, H/h_ref].  Unnormalize the trailing physics features first,
+    then the coordinates by the per-row geometry."""
+    X = np.array(X, dtype=float)
+    K = config["K"]
+    P = X[:, 2 * K] * config.get("p_ref", 18.0)
+    W = X[:, 2 * K + 1] * config.get("w_ref", 400.0)
+    H = X[:, 2 * K + 2] * config.get("h_ref", 400.0)
+    X[:, 0:2 * K:2] *= W[:, None]
+    X[:, 1:2 * K:2] *= H[:, None]
+    X[:, 2 * K], X[:, 2 * K + 1], X[:, 2 * K + 2] = P, W, H
+    return X
+
+
+def _decode_geo(Y_raw, X_unnorm, config):
+    """Strictly per-row feasibility decode with PER-ROW budget and geometry
+    read from the unnormalized condition: invert the train-time scale/shift,
+    clip the UAV into the row's own W x H box, Euclidean-project the powers
+    onto the row's own budget simplex.  Identity on feasible labels; safe
+    under serving bucket padding (no batch-global reductions)."""
+    from ..ops.decoders import msr_simplex_project
+
+    K = config["K"]
+    y_scale = config.get("y_scale", 1.0)
+    y_shift = jnp.asarray(config.get("y_shift", 0.0), Y_raw.dtype)
+    yd = Y_raw / y_scale + y_shift
+    WH = X_unnorm[:, 2 * K + 1:2 * K + 3]
+    xy = jnp.clip(yd[:, :2], 0.0, 1.0) * WH
+    P = msr_simplex_project(yd[:, 2:], 1.0) * X_unnorm[:, 2 * K:2 * K + 1]
+    return jnp.concatenate([xy, P], axis=1)
+
+
+def _objective_geo(Y_dec, X_unnorm, config):
+    return nu_rate(Y_dec, X_unnorm[:, : 2 * config["K"]])
+
+
+def _project_geo(Y_dec, X_unnorm, config):
+    """Per-row feasibility projection: the row's own geometry box and
+    budget simplex (both read from the unnormalized condition)."""
+    from ..ops.decoders import msr_simplex_project
+
+    K = config["K"]
+    WH = X_unnorm[:, 2 * K + 1:2 * K + 3]
+    xy = jnp.clip(Y_dec[:, :2], 0.0, WH)
+    P = msr_simplex_project(Y_dec[:, 2:], X_unnorm[:, 2 * K:2 * K + 1])
+    return jnp.concatenate([xy, P], axis=1)
+
+
+def _load_nu_geo(dataset_path, width=400.0, height=400.0, P_sum=None):
+    from ..data.loaders import load_nu_geo
+
+    return load_nu_geo(dataset_path, width, height, P_sum)
+
+
+#: The universal NU solver: condition carries the power budget AND the
+#: service-area geometry ``[P/p_ref, W/w_ref, H/h_ref]`` (cond_extra=3), so
+#: ONE model serves any budget on any rectangular field.  Coordinates and
+#: labels are normalized per-row by the row's own geometry/budget; decode
+#: and refinement projection are strictly per-row (mixed-geometry batches
+#: are fine at serving).  Train with ``tools/train_nu_geo.py`` on a
+#: mixed-geometry oracle set (``tools/make_datasets.py nu-geo``).
+NU_GEO = _dc.replace(
+    NU, name="nu_geo",
+    build_model=lambda cfg: unet_nu(cfg["K"], cond_extra=3),
+    load=_load_nu_geo,
+    decode=_decode_direct,            # fallback; sample paths use decode_with_x
+    decode_with_x=_decode_geo,
+    objective=_objective_geo,
+    unnormalize_x=_unnorm_x_geo,
+    cond_dim=lambda cfg: 2 * cfg["K"] + 3,
+    default_omega=0.5,
+    project=_project_geo,
+)

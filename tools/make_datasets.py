@@ -89,6 +89,8 @@ def main(argv=None):
     nu = sub.add_parser("nu")
     nu.add_argument("--samples", type=int, default=1000)
     nu.add_argument("--power", type=float, default=18.0)
+    nu.add_argument("--width", type=float, default=400.0)
+    nu.add_argument("--height", type=float, default=400.0)
     nu.add_argument("--grid-step", type=float, default=1.0)
     nu.add_argument("--seed", type=int, default=0)
     nu.add_argument("--native", action="store_true", default=True)
@@ -112,6 +114,27 @@ def main(argv=None):
     nub.add_argument("--grid-step", type=float, default=2.0)
     nub.add_argument("--seed", type=int, default=0)
     nub.add_argument("--out", required=True)
+
+    # Mixed-geometry + mixed-budget NU training set for the universal
+    # ``nu_geo`` task: per-sample field size (W, H) from a discrete grid and
+    # power budget like nu-budget, stored as trailing CSV columns
+    # [q x 6, L x 2, P x 3, rate, P_sum, W, H] (15 cols).  The reference
+    # geometry 400x400 and the eval budgets 18/30 are EXCLUDED by default,
+    # so the reference test splits are entirely unseen configurations.
+    nug = sub.add_parser("nu-geo")
+    nug.add_argument("--samples", type=int, default=10000)
+    nug.add_argument("--geom-min", type=float, default=200.0)
+    nug.add_argument("--geom-max", type=float, default=600.0)
+    nug.add_argument("--geom-step", type=float, default=40.0)
+    nug.add_argument("--exclude-geoms", type=float, nargs="*", default=[400.0])
+    nug.add_argument("--budget-min", type=float, default=9.0)
+    nug.add_argument("--budget-max", type=float, default=36.0)
+    nug.add_argument("--budget-step", type=float, default=3.0)
+    nug.add_argument("--exclude-budgets", type=float, nargs="*",
+                     default=[18.0, 30.0])
+    nug.add_argument("--grid-step", type=float, default=2.0)
+    nug.add_argument("--seed", type=int, default=0)
+    nug.add_argument("--out", required=True)
 
     args = ap.parse_args(argv)
     out = pathlib.Path(args.out)
@@ -147,13 +170,18 @@ def main(argv=None):
             from diffsg_tpu.data.native import nu_oracle_native
 
             rng = np.random.default_rng(args.seed)
-            qs = nu_coordinates_gen(rng, args.samples)
+            qs = nu_coordinates_gen(rng, args.samples,
+                                    width=int(args.width),
+                                    height=int(args.height))
             sol = nu_oracle_native(qs, P_sum=args.power,
                                    grid_step=args.grid_step,
+                                   width=args.width, height=args.height,
                                    legacy_sinr=args.legacy_sinr)
             data = np.concatenate([qs, sol], axis=1)
         else:
             data = noma_uav_gen(args.samples, args.power, args.seed,
+                                width=int(args.width),
+                                height=int(args.height),
                                 grid_step=args.grid_step,
                                 legacy_sinr=args.legacy_sinr)
         np.savetxt(out, data, delimiter=",")
@@ -180,6 +208,46 @@ def main(argv=None):
                     qs[idx], P_sum=float(b), grid_step=args.grid_step)
                 print(f"  budget {b:5.1f} mW: {idx.size} samples solved "
                       f"({time.time() - t0:.0f}s elapsed)", flush=True)
+        np.savetxt(out, data, delimiter=",")
+
+    elif args.task == "nu-geo":
+        from diffsg_tpu.data.generators import nu_coordinates_gen
+        from diffsg_tpu.data.native import nu_oracle_native
+
+        def _grid(lo, hi, step, excl):
+            g = np.arange(lo, hi + 1e-9, step)
+            return np.array([v for v in g
+                             if not any(abs(v - e) < 1e-9 for e in excl)])
+
+        geoms = _grid(args.geom_min, args.geom_max, args.geom_step,
+                      args.exclude_geoms)
+        budgets_grid = _grid(args.budget_min, args.budget_max,
+                             args.budget_step, args.exclude_budgets)
+        rng = np.random.default_rng(args.seed)
+        Ws = rng.choice(geoms, size=args.samples)
+        Hs = rng.choice(geoms, size=args.samples)
+        Ps = rng.choice(budgets_grid, size=args.samples)
+        data = np.zeros((args.samples, 15))
+        data[:, 12], data[:, 13], data[:, 14] = Ps, Ws, Hs
+        n_done = 0
+        for w in geoms:  # coords need the geometry; one gen+solve per (W,H)
+            for h in geoms:
+                gsel = np.nonzero((Ws == w) & (Hs == h))[0]
+                if not gsel.size:
+                    continue
+                qs = nu_coordinates_gen(rng, gsel.size, width=int(w),
+                                        height=int(h))
+                data[gsel, :6] = qs
+                for b in budgets_grid:
+                    idx = gsel[Ps[gsel] == b]
+                    if idx.size:
+                        data[idx, 6:12] = nu_oracle_native(
+                            data[idx, :6], P_sum=float(b),
+                            grid_step=args.grid_step, width=float(w),
+                            height=float(h))
+                n_done += gsel.size
+            print(f"  W={w:5.0f}: {n_done}/{args.samples} solved "
+                  f"({time.time() - t0:.0f}s elapsed)", flush=True)
         np.savetxt(out, data, delimiter=",")
 
     print(f"wrote {out} ({args.samples} samples) in {time.time() - t0:.1f}s")

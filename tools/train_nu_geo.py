@@ -1,0 +1,158 @@
+"""Train the universal NU model: budget + field-geometry conditioned.
+
+The ``nu_geo`` task generalizes ``nu_budget`` (the trained realization of
+the reference's designed-but-disabled ``condition_C`` capability,
+``classifier_free_NU.py:35-75``) to a second and third conditioning axis:
+the condition carries ``[P_sum/18, W/400, H/400]`` and the training data
+mixes field sizes AND budgets (``tools/make_datasets.py nu-geo``; both
+excluded grids keep 400 m and 18/30 mW unseen), so ONE checkpoint serves
+any budget on any rectangular service area — including the reference's own
+400x400 test splits, which it has never seen.
+
+Coordinates and labels are normalized per-row by the row's own geometry
+and budget (the nu_budget recipe: per-dim centering, y_scale 8, grad-clip,
+reference 200-epoch schedule); rigid-motion augmentation is applied per
+(W, H) group so motions stay inside each row's own field.
+
+Usage:
+  python tools/make_datasets.py nu-geo --out datasets/3u_geo200-600_10000samples.csv
+  python tools/train_nu_geo.py --out ckpts/ddpm_nu_geo
+"""
+
+import argparse
+import dataclasses
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def load_geo_rows(csv_path: str):
+    """15-column mixed-geometry CSV -> raw rows (coords kept raw for the
+    per-group augmenter; P_sum/W/H columns ride along untouched)."""
+    import pandas as pd
+
+    raw = np.array(pd.read_csv(csv_path, header=None))
+    assert raw.shape[1] == 15, f"expected 15 cols, got {raw.shape[1]}"
+    return raw
+
+
+def normalize_rows_geo(raw: np.ndarray, p_ref: float = 18.0,
+                       w_ref: float = 400.0, h_ref: float = 400.0):
+    """Raw 15-col rows -> (X with [P/p_ref, W/w_ref, H/h_ref] features,
+    Y normalized per-row by the row's own geometry and budget)."""
+    P_row, W_row, H_row = raw[:, 12:13], raw[:, 13:14], raw[:, 14:15]
+    X = raw[:, :6].astype(float).copy()
+    X[:, 0::2] /= W_row
+    X[:, 1::2] /= H_row
+    X = np.concatenate([X, P_row / p_ref, W_row / w_ref, H_row / h_ref],
+                       axis=1)
+    Y = raw[:, 6:11].astype(float).copy()
+    Y[:, 0:1] /= W_row
+    Y[:, 1:2] /= H_row
+    Y[:, 2:] /= P_row
+    return X, Y
+
+
+def augment_geo(raw: np.ndarray, times: int, seed: int) -> np.ndarray:
+    """Rigid-motion augmentation per (W, H) group: motions must stay inside
+    each row's own field, so the augmenter runs with that group's size."""
+    from diffsg_tpu.data.generators import nu_dataset_extension
+
+    if times <= 0:
+        return np.zeros((0, raw.shape[1]))
+    parts = []
+    for w in np.unique(raw[:, 13]):
+        for h in np.unique(raw[:, 14]):
+            sel = raw[(raw[:, 13] == w) & (raw[:, 14] == h)]
+            if sel.shape[0]:
+                parts.append(nu_dataset_extension(
+                    sel, times=times, seed=seed, width=int(w), height=int(h)))
+    return np.concatenate(parts)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--geo-dataset",
+                    default="datasets/3u_geo200-600_10000samples.csv")
+    ap.add_argument("--indist",
+                    default="/root/reference/datasets/3u_18mW_10000samples.csv")
+    ap.add_argument("--ood",
+                    default="/root/reference/datasets/3u_30mW_1000samples_ood.csv")
+    ap.add_argument("--times", type=int, default=28,
+                    help="rigid-motion augmentation copies per base row")
+    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--milestones", type=int, nargs="+", default=None)
+    ap.add_argument("--out", default="ckpts/ddpm_nu_geo")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--omegas", type=float, nargs="+",
+                    default=[0.06, 0.125, 0.25, 0.5])
+    ap.add_argument("--y-scale", type=float, default=8.0)
+    ap.add_argument("--no-center", dest="center", action="store_false")
+    ap.add_argument("--grad-clip", type=float, default=1.0)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from diffsg_tpu.data.loaders import NU_P_REF
+    from diffsg_tpu.tasks import TASKS, evaluate
+    from diffsg_tpu.train import train_ddpm
+    from diffsg_tpu.utils import save_checkpoint
+
+    task = TASKS["nu_geo"]
+    p_ref, w_ref, h_ref = NU_P_REF, 400.0, 400.0
+
+    base = load_geo_rows(args.geo_dataset)
+    ext = augment_geo(base, times=args.times, seed=args.seed)
+    rows = np.concatenate([base, ext])
+    X, Y = normalize_rows_geo(rows, p_ref, w_ref, h_ref)
+    print(f"train rows: {X.shape[0]} ({base.shape[0]} base x{args.times + 1}; "
+          f"{len(np.unique(rows[:, 13]))} widths x "
+          f"{len(np.unique(rows[:, 14]))} heights x "
+          f"{len(np.unique(rows[:, 12]))} budgets)")
+
+    cfg_d = {"K": 3, "P_sum": 18.0, "width": w_ref, "height": h_ref,
+             "p_ref": p_ref, "w_ref": w_ref, "h_ref": h_ref}
+    model = task.build_model(cfg_d)
+    overrides = {k: v for k, v in [("epochs", args.epochs), ("lr", args.lr),
+                                   ("seed", args.seed),
+                                   ("grad_clip", args.grad_clip),
+                                   ("milestones", tuple(args.milestones)
+                                    if args.milestones else None)]
+                 if v is not None}
+    cfg = dataclasses.replace(task.train_config, **overrides)
+    y_shift = Y.mean(axis=0) if args.center else np.zeros(Y.shape[1])
+    params, ema, sched = train_ddpm(model, X, (Y - y_shift) * args.y_scale,
+                                    cfg, log_every=25)
+    dataset_config = dict(cfg_d)
+    if args.y_scale != 1.0:
+        dataset_config["y_scale"] = args.y_scale
+    if args.center:
+        dataset_config["y_shift"] = [float(v) for v in y_shift]
+    save_checkpoint(args.out, params, ema=ema, sched=sched, step=cfg.epochs,
+                    metadata={"task": "nu_geo",
+                              "geo_dataset": args.geo_dataset,
+                              "augmented_times": args.times,
+                              "config": dataclasses.asdict(cfg),
+                              "dataset_config": dataset_config})
+
+    for name, path in (("in-dist", args.indist), ("ood", args.ood)):
+        d = task.load(path)
+        d.config.update({k: dataset_config[k] for k in ("y_scale", "y_shift")
+                         if k in dataset_config})
+        for om in args.omegas:
+            m = evaluate(task, params, sched, d, omega=om)
+            print(json.dumps({"split": name, "task": task.name,
+                              "omega": om, **m}))
+
+
+if __name__ == "__main__":
+    main()
