@@ -41,6 +41,11 @@ line per row.  Expected values (full test splits, TPU or CPU):
   nu budget   budget-conditioned ckpt (condition carries P_sum/18; trained
               on multi-budget oracle data EXCLUDING budgets 18 and 30),
               omega 0.06 single draw -> in-dist 0.99985; 30mW OOD 0.99972
+  nu geo      universal model (condition carries [P/18, W/400, H/400];
+              400 m and 18/30 mW excluded from training) on entirely
+              unseen configs: 18mW@400x400 -> 0.9882, 30mW@400x400 ->
+              0.9983, 33mW@600x600 -> 0.9861 (geometry-blind model:
+              0.9249), 12mW@200x200 -> 1.0007 (above the grid labels)
   nu direct   aug32 + centered + y_scale-8 ckpt, nu_direct decode,
               omega 0.125 single draw -> in-dist 0.9993; OOD 0.9963
               (aug2 s8 ckpt @ omega 1 -> 0.9918 / 0.9883)
@@ -89,10 +94,10 @@ def main():
 
     ensure_datasets()  # datasets/ is gitignored; regenerate whatever is gone
 
-    def row(name, task_key, ckpt, dataset, **kw):
+    def row(name, task_key, ckpt, dataset, load_kw=None, **kw):
         task = TASKS[task_key]
         ck = load_checkpoint(ckpt)
-        data = task.load(dataset)
+        data = task.load(dataset, **(load_kw or {}))
         from diffsg_tpu.tasks.base import merge_ckpt_config
 
         merge_ckpt_config(data.config, ck.get("metadata"))
@@ -204,6 +209,21 @@ def main():
             omega=nu_mix, best_of=len(nu_mix))
         row("nu OOD augmented", "nu", "ckpts/ddpm_nu_3u_aug",
             f"{REF}/3u_30mW_1000samples_ood.csv", omega=2000.0)
+        # universal model (nu_geo): budget AND geometry conditioned; every
+        # row below is an entirely unseen (budget, W, H) configuration
+        # (400 m and 18/30 mW are excluded from its training grids)
+        row("nu geo universal (unseen 18mW 400x400)", "nu_geo",
+            "ckpts/ddpm_nu_geo",
+            f"{REF}/3u_18mW_10000samples.csv", omega=0.5)
+        row("nu geo universal (unseen 30mW 400x400)", "nu_geo",
+            "ckpts/ddpm_nu_geo",
+            f"{REF}/3u_30mW_1000samples_ood.csv", omega=0.06)
+        row("nu geo universal (600x600 33mW)", "nu_geo", "ckpts/ddpm_nu_geo",
+            "datasets/3u_geo600x600_33mW_500samples.csv", omega=0.25,
+            load_kw={"width": 600.0, "height": 600.0, "P_sum": 33.0})
+        row("nu geo universal (200x200 12mW)", "nu_geo", "ckpts/ddpm_nu_geo",
+            "datasets/3u_geo200x200_12mW_500samples.csv", omega=0.06,
+            load_kw={"width": 200.0, "height": 200.0, "P_sum": 12.0})
     if "hybrid" in args.tasks:
         # hybrid diffusion + local search (ops.refine): single draw + 50
         # projected-gradient steps on the exact objective (RESULTS.md

@@ -47,6 +47,20 @@ KNOWN_DATASETS = {
     "8c_20w_wf_2000samples_ood.csv": ["msr", "--samples", "2000",
                                       "--channels", "8", "--power", "20",
                                       "--seed", "1", "--labels", "wf"],
+    # unseen-geometry NU eval sets for the universal nu_geo model (the
+    # 480x360 set uses grid-step 2: labels measured within 0.004% of
+    # grid-1, ~4x cheaper to regenerate)
+    "3u_geo600x600_33mW_500samples.csv": ["nu", "--samples", "500",
+                                          "--power", "33", "--width", "600",
+                                          "--height", "600", "--seed", "11",
+                                          "--grid-step", "3"],
+    "3u_geo200x200_12mW_500samples.csv": ["nu", "--samples", "500",
+                                          "--power", "12", "--width", "200",
+                                          "--height", "200", "--seed", "12"],
+    "3u_geo480x360_21mW_1000samples.csv": ["nu", "--samples", "1000",
+                                           "--power", "21", "--width", "480",
+                                           "--height", "360", "--seed", "7",
+                                           "--grid-step", "2"],
 }
 
 
