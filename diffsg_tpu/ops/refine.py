@@ -55,9 +55,10 @@ def projected_refine(
     -style control reaches the boundary-supported optimum of concave
     objectives far faster than any fixed decay schedule.
 
-    ``precond`` (D,) rescales the step per dimension for solution vectors
-    that mix physical units (NU: UAV coordinates in meters next to powers
-    in mW): the step is taken in ``z = Y / precond`` coordinates —
+    ``precond`` (D,) — or (B, D) for PER-ROW scales, e.g. mixed-geometry /
+    mixed-budget NU batches — rescales the step per dimension for solution
+    vectors that mix physical units (NU: UAV coordinates in meters next to
+    powers in mW): the step is taken in ``z = Y / precond`` coordinates —
     normalized there, mapped back — so each dimension moves proportionally
     to its own scale.  ``None`` = plain L2 in physical units.
 
@@ -68,7 +69,12 @@ def projected_refine(
         return Y0
     sign = 1.0 if higher_is_better else -1.0
     grad_fn = jax.grad(lambda Y: jnp.sum(objective_fn(Y)))
-    s_vec = None if precond is None else jnp.asarray(precond, Y0.dtype)[None, :]
+    if precond is None:
+        s_vec = None
+    else:
+        s_vec = jnp.asarray(precond, Y0.dtype)
+        if s_vec.ndim == 1:
+            s_vec = s_vec[None, :]
 
     def body(_, carry):
         Y, s, st = carry

@@ -67,6 +67,46 @@ def test_refine_labels_process(tmp_path, ncol):
     assert np.all(out[:, 11] >= raw[:, 11])
 
 
+def test_refine_labels_geo_15col(tmp_path):
+    """Mixed-geometry (15-col nu-geo) refinement: per-row W/H drive the
+    projection, so refined labels stay inside each row's OWN field."""
+    from tools.refine_labels import process
+
+    rng = np.random.default_rng(5)
+    rows = 10
+    raw = np.zeros((rows, 15))
+    raw[:, 13] = rng.choice([200.0, 600.0], rows)          # W
+    raw[:, 14] = rng.choice([240.0, 520.0], rows)          # H
+    raw[:, 12] = rng.choice([9.0, 33.0], rows)             # P
+    raw[:, 0:6:2] = rng.uniform(0.05, 0.95, (rows, 3)) * raw[:, 13:14]
+    raw[:, 1:6:2] = rng.uniform(0.05, 0.95, (rows, 3)) * raw[:, 14:15]
+    raw[:, 6] = raw[:, 0:6:2].mean(axis=1)
+    raw[:, 7] = raw[:, 1:6:2].mean(axis=1)
+    raw[:, 8:11] = raw[:, 12:13] / 3.0                     # uniform split
+    import jax.numpy as jnp
+
+    raw[:, 11] = np.asarray(nu_rate(
+        jnp.asarray(raw[:, 6:11], jnp.float32),
+        jnp.asarray(raw[:, :6], jnp.float32)), float)
+
+    src, dst = tmp_path / "src.csv", tmp_path / "dst.csv"
+    np.savetxt(src, raw, delimiter=",", fmt="%.18e")
+    stats = process(str(src), str(dst), iters=40, starts=2, seed=0,
+                    width=400.0, height=400.0, P_fixed=None)
+    assert stats["frac_improved"] == 1.0
+
+    out = np.loadtxt(dst, delimiter=",")
+    # trailing physics columns untouched
+    np.testing.assert_allclose(out[:, 12:], raw[:, 12:], rtol=1e-15)
+    # refined labels feasible in each row's OWN box and budget simplex
+    assert (out[:, 6] >= 0).all() and (out[:, 6] <= out[:, 13]).all()
+    assert (out[:, 7] >= 0).all() and (out[:, 7] <= out[:, 14]).all()
+    assert out[:, 8:11].min() >= -1e-5
+    np.testing.assert_allclose(out[:, 8:11].sum(axis=1), out[:, 12],
+                               rtol=1e-5)
+    assert np.all(out[:, 11] >= raw[:, 11])
+
+
 def test_refine_rows_model_seed_tie_break():
     """Expert-iteration selection: the model's refined basin is kept when
     within tie_eps of the multistart best, dropped when clearly worse."""

@@ -10,11 +10,13 @@ on the exact NOMA-SIC rate.  A model retrained on the refined CSVs then
 emits near-refined-optimal solutions in a PURE single draw — no objective,
 no gradients, no extra latency at serve time.
 
-Reads the two NU training sources (13-col multi-budget CSV from
-``tools/make_datasets.py nu-budget``; 12-col reference-format in-dist CSV)
-and writes refined copies in the identical format (rate column updated, all
-other columns byte-identical), so ``tools/train_nu_budget.py`` consumes
-them unchanged.
+Reads the NU training sources (13-col multi-budget CSV from
+``tools/make_datasets.py nu-budget``; 12-col reference-format in-dist CSV;
+15-col mixed-geometry CSV from ``nu-geo`` — per-row W/H columns drive a
+per-row feasibility projection and preconditioner) and writes refined
+copies in the identical format (rate column updated, all other columns
+byte-identical), so ``tools/train_nu_budget.py`` / ``train_nu_geo.py``
+consume them unchanged.
 
 Expert iteration (generation 2+, ``--model-seed CKPT``): the remaining gap
 between the retrained model's pure draw and the refined-label ceiling is a
@@ -51,12 +53,14 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 def refine_rows(coords, Y0, P_row, iters, starts, seed, width, height,
                 model_Y0=None, tie_eps=0.0):
     """Refine labels ``Y0`` (B,2+K) for users ``coords`` (B,2K) under
-    per-row budgets ``P_row`` (B,).  ``model_Y0`` (B,2+K), if given, is a
-    feasible draw from the previous-generation model; its refined result is
-    preferred over the multistart best whenever within ``tie_eps``
-    (relative) of it.  Returns (Y_best, rate_best, frac_model) where
-    ``frac_model`` is the fraction of rows labeled from the model's basin
-    (0.0 when ``model_Y0`` is None)."""
+    per-row budgets ``P_row`` (B,).  ``width``/``height`` are scalars or
+    per-row (B,) arrays (mixed-geometry 15-col CSVs).  ``model_Y0``
+    (B,2+K), if given, is a feasible draw from the previous-generation
+    model; its refined result is preferred over the multistart best
+    whenever within ``tie_eps`` (relative) of it.  Returns
+    (Y_best, rate_best, frac_model) where ``frac_model`` is the fraction
+    of rows labeled from the model's basin (0.0 when ``model_Y0`` is
+    None)."""
     import jax
     import jax.numpy as jnp
 
@@ -67,25 +71,26 @@ def refine_rows(coords, Y0, P_row, iters, starts, seed, width, height,
     coords = jnp.asarray(coords, jnp.float32)
     P_col = jnp.asarray(P_row, jnp.float32)[:, None]
     B, K = Y0.shape[0], Y0.shape[1] - 2
+    W = jnp.broadcast_to(jnp.asarray(width, jnp.float32), (B,))
+    H = jnp.broadcast_to(jnp.asarray(height, jnp.float32), (B,))
+    WH = jnp.stack([W, H], axis=1)
 
     obj = lambda Y: nu_rate(Y, coords)
 
     def proj(Y):
-        xy = jnp.clip(Y[:, :2], jnp.zeros((2,), Y.dtype),
-                      jnp.asarray([width, height], Y.dtype))
+        xy = jnp.clip(Y[:, :2], 0.0, WH)
         P = msr_simplex_project(Y[:, 2:], P_col)
         return jnp.concatenate([xy, P], axis=1)
 
-    precond = jnp.asarray([width * 0.02, height * 0.02]
-                          + [float(np.mean(P_row)) * 0.02] * K, jnp.float32)
+    precond = jnp.concatenate([WH * 0.02,
+                               jnp.repeat(P_col * 0.02, K, axis=1)], axis=1)
 
     refine = jax.jit(lambda Y: projected_refine(
         obj, proj, Y, iters, 1.0, higher_is_better=True, precond=precond))
 
     def rand_start(key):
         kxy, kp = jax.random.split(key)
-        xy = jax.random.uniform(kxy, (B, 2), jnp.float32) * jnp.asarray(
-            [width, height], jnp.float32)
+        xy = jax.random.uniform(kxy, (B, 2), jnp.float32) * WH
         P = jax.random.uniform(kp, (B, K), jnp.float32)
         return proj(jnp.concatenate([xy, P], axis=1))
 
@@ -113,27 +118,48 @@ def refine_rows(coords, Y0, P_row, iters, starts, seed, width, height,
 
 
 def model_draws(coords, P_row, model_ckpt, omega, width, height, seed=0):
-    """Single decoded draw of the (budget-conditioned) previous-generation
-    model for every raw row: conditions built exactly as
-    ``tools/train_nu_budget.py`` normalizes them, sampled per budget group
-    (the per-row-feasibility decode needs a scalar ``P_sum`` per call).
-    Returns feasible physical-unit solutions (B, 2+K)."""
+    """Single decoded draw of the previous-generation conditioned model for
+    every raw row.  The model's task is read from the checkpoint metadata:
+    ``nu_budget`` samples per budget group (its per-row-feasibility decode
+    needs a scalar ``P_sum`` per call; conditions built exactly as
+    ``tools/train_nu_budget.py`` normalizes them), ``nu_geo`` samples every
+    row in ONE call (its decode is strictly per-row; ``width``/``height``
+    may be per-row arrays).  Returns feasible physical solutions (B, 2+K)."""
     from diffsg_tpu.tasks import TASKS
     from diffsg_tpu.tasks.base import merge_ckpt_config, sample_solutions
     from diffsg_tpu.utils import load_checkpoint
 
-    task = TASKS["nu_budget"]
     ck = load_checkpoint(model_ckpt)
-    p_ref = 18.0
+    task_name = (ck.get("metadata") or {}).get("task", "nu_budget")
+    task = TASKS[task_name]
+    p_ref, w_ref, h_ref = 18.0, 400.0, 400.0
+    B = coords.shape[0]
+    P = np.asarray(P_row, float)
+    W = np.broadcast_to(np.asarray(width, float), (B,))
+    H = np.broadcast_to(np.asarray(height, float), (B,))
     X = coords.astype(float).copy()
-    X[:, 0::2] /= width
-    X[:, 1::2] /= height
-    X = np.concatenate([X, np.asarray(P_row, float)[:, None] / p_ref], axis=1)
+    X[:, 0::2] /= W[:, None]
+    X[:, 1::2] /= H[:, None]
 
-    out = np.empty((coords.shape[0], 5), np.float64)
-    for p in np.unique(np.asarray(P_row, float)):
-        idx = np.nonzero(np.asarray(P_row, float) == p)[0]
-        config = {"width": width, "height": height, "K": 3,
+    if task_name == "nu_geo":
+        X = np.concatenate([X, P[:, None] / p_ref, W[:, None] / w_ref,
+                            H[:, None] / h_ref], axis=1)
+        config = {"K": 3, "p_ref": p_ref, "w_ref": w_ref, "h_ref": h_ref}
+        merge_ckpt_config(config, ck.get("metadata"))
+        dec, _ = sample_solutions(task, ck["params"], ck["sched"], X,
+                                  config, omega=omega, batch_size=4096,
+                                  seed=seed)
+        return np.asarray(dec, np.float64)
+
+    assert task_name == "nu_budget", f"unsupported model-seed task {task_name}"
+    assert np.ptp(W) == 0 and np.ptp(H) == 0, (
+        "a nu_budget model seed needs a fixed geometry; use a nu_geo "
+        "checkpoint for mixed-geometry (15-col) inputs")
+    X = np.concatenate([X, P[:, None] / p_ref], axis=1)
+    out = np.empty((B, 5), np.float64)
+    for p in np.unique(P):
+        idx = np.nonzero(P == p)[0]
+        config = {"width": float(W[0]), "height": float(H[0]), "K": 3,
                   "P_sum": float(p), "p_ref": p_ref}
         merge_ckpt_config(config, ck.get("metadata"))
         dec, _ = sample_solutions(task, ck["params"], ck["sched"], X[idx],
@@ -149,13 +175,17 @@ def process(path_in, path_out, iters, starts, seed, width, height, P_fixed,
 
     raw = np.array(pd.read_csv(path_in, header=None))
     ncol = raw.shape[1]
-    assert ncol in (12, 13), f"unexpected column count {ncol} in {path_in}"
+    assert ncol in (12, 13, 15), f"unexpected column count {ncol} in {path_in}"
     coords, Y0 = raw[:, :6], raw[:, 6:11]
     if ncol == 12:
         assert P_fixed is not None, (
             f"{path_in} has no budget column (12-col reference format); "
             "pass its fixed budget via --p-indist")
-    P_row = raw[:, 12] if ncol == 13 else np.full(raw.shape[0], float(P_fixed))
+        P_row = np.full(raw.shape[0], float(P_fixed))
+    else:
+        P_row = raw[:, 12]
+    if ncol == 15:  # mixed-geometry (nu-geo) format: per-row W/H columns
+        width, height = raw[:, 13], raw[:, 14]
     old_rate = raw[:, 11]
 
     m_Y0 = (None if model_ckpt is None else
@@ -189,6 +219,10 @@ def main():
                     default="/root/reference/datasets/3u_18mW_10000samples.csv")
     ap.add_argument("--indist-out",
                     default="datasets/3u_18mW_10000samples_refined.csv")
+    ap.add_argument("--skip-indist", action="store_true",
+                    help="refine only --budget-in (e.g. the 15-col "
+                         "mixed-geometry CSV, which has no companion "
+                         "fixed-config file)")
     ap.add_argument("--p-indist", type=float, default=18.0)
     ap.add_argument("--model-seed", default=None,
                     help="previous-generation nu_budget ckpt dir; its "
@@ -208,8 +242,10 @@ def main():
                       "/root/.cache/jax_comp_cache")
     jax.config.update("jax_default_matmul_precision", "highest")
 
-    for src, dst, pfix in ((args.budget_in, args.budget_out, None),
-                           (args.indist_in, args.indist_out, args.p_indist)):
+    pairs = [(args.budget_in, args.budget_out, None)]
+    if not args.skip_indist:
+        pairs.append((args.indist_in, args.indist_out, args.p_indist))
+    for src, dst, pfix in pairs:
         stats = process(src, dst, args.iters, args.starts, args.seed,
                         400.0, 400.0, pfix, model_ckpt=args.model_seed,
                         model_omega=args.model_omega, tie_eps=args.tie_eps)
