@@ -409,7 +409,12 @@ def noma_uav_gen(sample_num: int, P_sum: float = 18.0, seed: int = 0,
         inside = _points_in_triangle(PX, PY, tri)
         px, py = PX[inside], PY[inside]
         if px.size == 0:
-            continue
+            # Degenerate (near-collinear) user triangle thinner than the
+            # grid step: no grid point inside.  Fall back to the centroid
+            # (inside the convex hull even for a sliver) instead of leaving
+            # an all-zero row — matches native/nu_oracle.cpp.
+            px = np.array([tri[0::2].mean()])
+            py = np.array([tri[1::2].mean()])
         best_rate, best = -np.inf, None
         # SIC position j gets fs column j: position 0 = strongest channel =
         # smallest power (reference feasible_solutions = fs[:, si]).

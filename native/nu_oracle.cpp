@@ -103,46 +103,56 @@ int nu_oracle_solve(const double* qs, int64_t n, double P_sum,
     double best_rate = -1.0e300;
     double best[6] = {0, 0, 0, 0, 0, 0};
 
+    auto score_point = [&](double px, double py) {
+      // channel gains and SIC order (strongest first)
+      double h2[K];
+      for (int u = 0; u < K; ++u) {
+        const double dx = px - tri[2 * u];
+        const double dy = py - tri[2 * u + 1];
+        h2[u] = kRho0 / (kUavH * kUavH + dx * dx + dy * dy);
+      }
+      int order[K] = {0, 1, 2};
+      // stable 3-element descending sort by h2
+      if (h2[order[0]] < h2[order[1]]) std::swap(order[0], order[1]);
+      if (h2[order[1]] < h2[order[2]]) std::swap(order[1], order[2]);
+      if (h2[order[0]] < h2[order[1]]) std::swap(order[0], order[1]);
+
+      double c[K];  // sigma^2 / h_sorted^2 per SIC position
+      for (int j = 0; j < K; ++j) c[j] = kSigmaSq / h2[order[j]];
+
+      // log2 is monotone: compare products of (1 + sinr_j) and take the
+      // log only once for the final winner.  Keeps the hot loop free of
+      // transcendentals (3 divs + 3 muls per solution).
+      for (int64_t s = 0; s < S; ++s) {
+        const Solution& sol = fs[s];
+        // position 0: p * h^2 / sigma^2 == p / c[0]
+        double prod = 1.0 + sol.p[0] / c[0];
+        for (int j = 1; j < K; ++j) {
+          prod *= 1.0 + sol.p[j] / (interf[s * K + j] + c[j]);
+        }
+        if (prod > best_rate) {
+          best_rate = prod;
+          best[0] = px;
+          best[1] = py;
+          for (int j = 0; j < K; ++j) best[2 + order[j]] = sol.p[j];
+        }
+      }
+    };
+
     for (int64_t iy = 0; iy < ny; ++iy) {
       const double py = iy * grid_step;
       for (int64_t ix = 0; ix < nx; ++ix) {
         const double px = ix * grid_step;
-        if (!inside_triangle(px, py, tri)) continue;
-
-        // channel gains and SIC order (strongest first)
-        double h2[K];
-        for (int u = 0; u < K; ++u) {
-          const double dx = px - tri[2 * u];
-          const double dy = py - tri[2 * u + 1];
-          h2[u] = kRho0 / (kUavH * kUavH + dx * dx + dy * dy);
-        }
-        int order[K] = {0, 1, 2};
-        // stable 3-element descending sort by h2
-        if (h2[order[0]] < h2[order[1]]) std::swap(order[0], order[1]);
-        if (h2[order[1]] < h2[order[2]]) std::swap(order[1], order[2]);
-        if (h2[order[0]] < h2[order[1]]) std::swap(order[0], order[1]);
-
-        double c[K];  // sigma^2 / h_sorted^2 per SIC position
-        for (int j = 0; j < K; ++j) c[j] = kSigmaSq / h2[order[j]];
-
-        // log2 is monotone: compare products of (1 + sinr_j) and take the
-        // log only once for the final winner.  Keeps the hot loop free of
-        // transcendentals (3 divs + 3 muls per solution).
-        for (int64_t s = 0; s < S; ++s) {
-          const Solution& sol = fs[s];
-          // position 0: p * h^2 / sigma^2 == p / c[0]
-          double prod = 1.0 + sol.p[0] / c[0];
-          for (int j = 1; j < K; ++j) {
-            prod *= 1.0 + sol.p[j] / (interf[s * K + j] + c[j]);
-          }
-          if (prod > best_rate) {
-            best_rate = prod;
-            best[0] = px;
-            best[1] = py;
-            for (int j = 0; j < K; ++j) best[2 + order[j]] = sol.p[j];
-          }
-        }
+        if (inside_triangle(px, py, tri)) score_point(px, py);
       }
+    }
+    if (best_rate <= -1.0e299) {
+      // Degenerate (near-collinear) user triangle thinner than the grid
+      // step: no grid point fell inside.  Fall back to the centroid, which
+      // lies in the triangle's convex hull even when it is a sliver —
+      // otherwise the row would come out all-zero with a NaN rate.
+      score_point((tri[0] + tri[2] + tri[4]) / 3.0,
+                  (tri[1] + tri[3] + tri[5]) / 3.0);
     }
     best[5] = std::log2(best_rate);  // convert winning product back to rate
     for (int j = 0; j < 6; ++j) out[i * 6 + j] = best[j];
