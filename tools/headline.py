@@ -211,7 +211,28 @@ def main():
             f"{REF}/3u_30mW_1000samples_ood.csv", omega=2000.0)
         # universal model (nu_geo): budget AND geometry conditioned; every
         # row below is an entirely unseen (budget, W, H) configuration
-        # (400 m and 18/30 mW are excluded from its training grids)
+        # (400 m and 18/30 mW are excluded from its training grids).
+        # The self-improved variant retrains the SAME recipe on
+        # refine_labels output (ratios are vs each set's oracle GRID
+        # labels; fit-to-refined-ceiling is 0.994-0.999, RESULTS.md).
+        row("nu geo universal self-improved (unseen 18mW 400x400)",
+            "nu_geo", "ckpts/ddpm_nu_geo_refined",
+            f"{REF}/3u_18mW_10000samples.csv", omega=0.5)
+        row("nu geo universal self-improved (unseen 30mW 400x400)",
+            "nu_geo", "ckpts/ddpm_nu_geo_refined",
+            f"{REF}/3u_30mW_1000samples_ood.csv", omega=0.5)
+        row("nu geo universal self-improved (600x600 33mW)", "nu_geo",
+            "ckpts/ddpm_nu_geo_refined",
+            "datasets/3u_geo600x600_33mW_500samples.csv", omega=0.5,
+            load_kw={"width": 600.0, "height": 600.0, "P_sum": 33.0})
+        row("nu geo universal self-improved (200x200 12mW)", "nu_geo",
+            "ckpts/ddpm_nu_geo_refined",
+            "datasets/3u_geo200x200_12mW_500samples.csv", omega=0.5,
+            load_kw={"width": 200.0, "height": 200.0, "P_sum": 12.0})
+        row("nu geo universal self-improved (480x360 21mW)", "nu_geo",
+            "ckpts/ddpm_nu_geo_refined",
+            "datasets/3u_geo480x360_21mW_1000samples.csv", omega=0.5,
+            load_kw={"width": 480.0, "height": 360.0, "P_sum": 21.0})
         row("nu geo universal (unseen 18mW 400x400)", "nu_geo",
             "ckpts/ddpm_nu_geo",
             f"{REF}/3u_18mW_10000samples.csv", omega=0.5)

@@ -198,10 +198,16 @@ def process(path_in, path_out, iters, starts, seed, width, height, P_fixed,
     out[:, 6:11] = Y
     out[:, 11] = R
     np.savetxt(path_out, out, delimiter=",", fmt="%.18e")
+    # Broken source labels (all-zero row / NaN rate from a degenerate user
+    # triangle, pre-centroid-fallback oracles) are "repaired": the refiner
+    # rebuilt them from random starts.  Keep them out of the ratio stats.
+    ok = np.isfinite(old_rate) & (old_rate > 0)
+    ratio = R[ok] / old_rate[ok]
     return {"file": str(path_out), "rows": int(raw.shape[0]),
-            "mean_ratio": float(np.mean(R / old_rate)),
-            "min_ratio": float(np.min(R / old_rate)),
-            "frac_improved": float(np.mean(R > old_rate + 1e-12)),
+            "mean_ratio": float(np.mean(ratio)),
+            "min_ratio": float(np.min(ratio)),
+            "frac_improved": float(np.mean(R[ok] > old_rate[ok] + 1e-12)),
+            "repaired_rows": int((~ok).sum()),
             "frac_model_basin": frac_model}
 
 
