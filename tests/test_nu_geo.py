@@ -226,3 +226,53 @@ def test_geo_conditioned_training_end_to_end():
                                   omega=0.25, seed=7)
         out[g] = dec
     assert np.abs(out[0][:, :2] - out[1][:, :2]).mean() > 1.0
+
+
+def test_solver_serves_mixed_geometry_batch():
+    """Production path: ONE ``serve.Solver`` over the universal checkpoint
+    solves a single batch that mixes budgets AND field geometries.  Every
+    row must come back feasible in its own box/simplex, and the decoded
+    rates must beat each set's oracle grid labels in aggregate (the
+    self-improved model measures 1.23x-2.01x per set; bar 1.02)."""
+    import jax.numpy as jnp
+
+    from diffsg_tpu.ops.objectives import nu_rate
+    from diffsg_tpu.serve import Solver
+    from diffsg_tpu.tasks import TASKS
+    from tools.make_datasets import ensure_datasets
+
+    sets = [("datasets/3u_geo600x600_33mW_500samples.csv", 600.0, 600.0, 33.0),
+            ("datasets/3u_geo200x200_12mW_500samples.csv", 200.0, 200.0, 12.0),
+            ("datasets/3u_geo480x360_21mW_1000samples.csv", 480.0, 360.0, 21.0)]
+    ensure_datasets([s[0].split("/")[-1] for s in sets])
+
+    n = 16
+    task = TASKS["nu_geo"]
+    X_parts, R_parts, WHP = [], [], []
+    for path, w, h, p in sets:
+        d = task.load(path, width=w, height=h, P_sum=p)
+        X_parts.append(np.asarray(d.X_test[:n], float))
+        R_parts.append(np.asarray(d.R_test[:n], float))
+        WHP.append(np.tile([w, h, p], (n, 1)))
+    X = np.concatenate(X_parts)
+    R_label = np.concatenate(R_parts)
+    WHP = np.concatenate(WHP)
+
+    solver = Solver.from_checkpoint("ckpts/ddpm_nu_geo_refined",
+                                    task="nu_geo")
+    Y = np.asarray(solver.solve(X, omega=0.5, seed=0))
+
+    # per-row feasibility in each row's OWN geometry and budget
+    assert (Y[:, 0] >= 0).all() and (Y[:, 0] <= WHP[:, 0]).all()
+    assert (Y[:, 1] >= 0).all() and (Y[:, 1] <= WHP[:, 1]).all()
+    assert Y[:, 2:].min() >= -1e-4
+    np.testing.assert_allclose(Y[:, 2:].sum(axis=1), WHP[:, 2], rtol=1e-4)
+
+    # aggregate quality: beats the oracle grid labels on every sub-set
+    coords = task.unnormalize_x(X, solver.config)[:, :6]
+    rate = np.asarray(nu_rate(jnp.asarray(Y, jnp.float32),
+                              jnp.asarray(coords, jnp.float32)))
+    for g in range(3):
+        sl = slice(g * n, (g + 1) * n)
+        ratio = rate[sl].sum() / R_label[sl].sum()
+        assert ratio > 1.02, (sets[g][0], ratio)
