@@ -192,6 +192,15 @@ class Solver:
 
         ck = load_checkpoint(ckpt_dir)
         config = dict(ck["metadata"].get("dataset_config") or {})
+        if task.startswith("multi_") and "subtask_configs" in ck["metadata"]:
+            # multi-task checkpoint (tools/train_multi.py): start from the
+            # wrapper's own subtask config (physics + label transforms) and
+            # the shared-net architecture keys
+            from .tasks.multi import merge_multi_config
+
+            slot = task.split("_", 1)[1]
+            config.update(ck["metadata"]["subtask_configs"].get(slot) or {})
+            merge_multi_config(config, ck["metadata"], slot)
         config.update(dataset_config or {})
         return cls(TASKS[task], ck["params"], ck["sched"], config, **kw)
 

@@ -1,0 +1,156 @@
+"""Multi-task DiffSG: ONE denoiser that solves MSR, CO and NU.
+
+A framework extension past the reference (which trains one specialist per
+problem — ``classifier_free_{MSR,CO,NU}.py`` are three separate models): the
+three solution spaces are embedded in a shared ``D_UNI``-dim canvas (the max
+task dim; shorter tasks zero-padded) and the condition carries ``[task
+one-hot (3) | payload (9, zero-padded)]``.  Task identity enters ONLY
+through the condition — the same conditioning mechanism the reference
+designs but never enables (``condition_C`` / the ``cdim`` config key,
+``classifier_free_NU.py:35-75``), here carrying a discrete task id instead
+of an objective value.
+
+The wrapper tasks ``multi_msr`` / ``multi_co`` / ``multi_nu`` reuse each
+specialist's loader, decode, objective, metrics, and refinement projection
+untouched:
+
+* ``build_model`` returns an adapter that prepends the task one-hot and
+  zero-pads the condition payload into the shared 12-dim condition;
+* ``data_dim`` is ``D_UNI``, so the reverse chain runs in the full shared
+  canvas (pad dims were trained toward 0-labels and see the SAME noise
+  statistics at sampling as at training — cropping per step would feed the
+  net off-distribution zeros);
+* ``decode``/``decode_with_x`` crop the sampled canvas back to the
+  subtask's dims before the specialist decode.
+
+All three wrappers share ONE checkpoint (``tools/train_multi.py``); the
+per-subtask label transforms (y_shift/y_scale) live in the checkpoint
+metadata under ``subtask_configs`` and are merged into a freshly-loaded
+dataset config with :func:`merge_multi_config`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.unet1d import UNet1D
+from .co import CO_RANKED
+from .msr import MSR_WF
+from .nu import NU_DIRECT
+
+#: shared solution canvas = max task dim (NU's 2+K=5; MSR-3c and CO pad up)
+D_UNI = 5
+#: condition payload width = max specialist cond dim (CO's 3N=9)
+PAYLOAD = 9
+#: one-hot slot order (first 3 condition columns)
+SLOTS = ("msr", "co", "nu")
+COND_UNI = len(SLOTS) + PAYLOAD
+
+
+def unet_multi(proj_dim: int = 128, dims=(64, 32, 16, 8)) -> UNet1D:
+    """The shared denoiser: the MSR-class architecture (the largest of the
+    reference zoo) over the 5-dim canvas and 12-dim condition."""
+    return UNet1D(input_dim=D_UNI, proj_dim=proj_dim, cond_dim=COND_UNI,
+                  dims=tuple(dims), is_attn=(False,) * len(dims),
+                  middle_attn=False, n_blocks=2)
+
+
+def embed_cond_np(X: np.ndarray, slot: str) -> np.ndarray:
+    """Host-side condition embedding for training: [one-hot | payload | 0s]."""
+    i = SLOTS.index(slot)
+    n, c = X.shape
+    assert c <= PAYLOAD, f"payload {c} exceeds {PAYLOAD}"
+    one = np.zeros((n, len(SLOTS)), X.dtype)
+    one[:, i] = 1.0
+    return np.concatenate(
+        [one, X, np.zeros((n, PAYLOAD - c), X.dtype)], axis=1)
+
+
+def embed_y_np(Y: np.ndarray, slot_unused: str = "") -> np.ndarray:
+    """Host-side label embedding: zero-pad to the shared canvas."""
+    n, d = Y.shape
+    assert d <= D_UNI, f"solution dim {d} exceeds {D_UNI}"
+    return np.concatenate([Y, np.zeros((n, D_UNI - d), Y.dtype)], axis=1)
+
+
+class _CondAdapter:
+    """Duck-typed flax-module stand-in: pads the specialist condition into
+    the shared layout, leaves the 5-dim solution canvas untouched.  The
+    sample/serve paths only call ``apply``; ``init`` mirrors it."""
+
+    def __init__(self, inner: UNet1D, slot_idx: int, payload_dim: int):
+        self.inner = inner
+        self.slot_idx = slot_idx
+        self.payload_dim = payload_dim
+
+    def _pad_cond(self, cond):
+        n = cond.shape[0]
+        one = jnp.zeros((n, len(SLOTS)), cond.dtype).at[:, self.slot_idx].set(1.0)
+        pad = jnp.zeros((n, PAYLOAD - self.payload_dim), cond.dtype)
+        return jnp.concatenate([one, cond, pad], axis=1)
+
+    def init(self, key, y, t, cond, mask):
+        return self.inner.init(key, y, t, self._pad_cond(cond), mask)
+
+    def apply(self, variables, y, t, cond, mask):
+        return self.inner.apply(variables, y, t, self._pad_cond(cond), mask)
+
+
+def _wrap(sub, slot: str):
+    """Build the multi-task wrapper around a specialist task plugin."""
+    slot_idx = SLOTS.index(slot)
+
+    def build_model(cfg: Dict):
+        inner = unet_multi(cfg.get("proj_dim", 128),
+                           tuple(cfg.get("dims", (64, 32, 16, 8))))
+        return _CondAdapter(inner, slot_idx, sub.cond_dim(cfg))
+
+    def decode(Y_raw, cfg, valid_mask=None):
+        return sub.decode(Y_raw[:, : sub.data_dim(cfg)], cfg, valid_mask)
+
+    decode_with_x = None
+    if sub.decode_with_x is not None:
+        def decode_with_x(Y_raw, X_unnorm, cfg, valid_mask=None):
+            return sub.decode_with_x(Y_raw[:, : sub.data_dim(cfg)], X_unnorm,
+                                     cfg, valid_mask)
+
+    return dataclasses.replace(
+        sub, name=f"multi_{slot}", build_model=build_model,
+        data_dim=lambda cfg: D_UNI, decode=decode,
+        decode_with_x=decode_with_x)
+
+
+#: The three faces of the one multi-task checkpoint.  Decode flavors are the
+#: headline specialists': msr_wf projection-family, co_ranked, nu_direct.
+MULTI_MSR = _wrap(MSR_WF, "msr")
+MULTI_CO = _wrap(CO_RANKED, "co")
+MULTI_NU = _wrap(NU_DIRECT, "nu")
+
+MULTI_TASKS = {"multi_msr": MULTI_MSR, "multi_co": MULTI_CO,
+               "multi_nu": MULTI_NU}
+
+#: per-subtask config keys owned by the multi checkpoint (label transforms
+#: + the shared architecture) — see merge_multi_config.
+_ARCH_KEYS = ("proj_dim", "dims")
+_LABEL_KEYS = ("y_scale", "y_shift", "parameterization")
+
+
+def merge_multi_config(config: Dict, metadata: Optional[Dict],
+                       slot: str) -> Dict:
+    """Copy the multi checkpoint's architecture keys and the ``slot``
+    subtask's label-transform keys into a freshly-loaded dataset config
+    (the multi analogue of ``tasks.base.merge_ckpt_config``)."""
+    md = metadata or {}
+    sub_cfg = (md.get("subtask_configs") or {}).get(slot) or {}
+    arch = md.get("arch") or {}
+    for k in _ARCH_KEYS:
+        if k in arch:
+            config[k] = arch[k]
+    for k in _LABEL_KEYS:
+        if k in sub_cfg:
+            config[k] = sub_cfg[k]
+    return config

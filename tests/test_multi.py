@@ -1,0 +1,180 @@
+"""Multi-task (one net for MSR+CO+NU) wrapper tests — CPU.
+
+Covers the shared-canvas embedding, the condition adapter, the cropping
+decodes, and a tiny end-to-end train->sample->feasibility smoke across all
+three wrapper tasks sharing one parameter set.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffsg_tpu.data.loaders import load_co, load_msr, load_nu
+from diffsg_tpu.tasks import TASKS
+from diffsg_tpu.tasks.multi import (COND_UNI, D_UNI, PAYLOAD, SLOTS,
+                                    embed_cond_np, embed_y_np,
+                                    merge_multi_config, unet_multi)
+
+REF = "/root/reference/datasets"
+
+
+def test_embed_cond_layout():
+    X = np.arange(12, dtype=np.float32).reshape(2, 6)
+    E = embed_cond_np(X, "nu")
+    assert E.shape == (2, COND_UNI)
+    # one-hot slot
+    np.testing.assert_array_equal(E[:, :3], [[0, 0, 1], [0, 0, 1]])
+    # payload then zero pad
+    np.testing.assert_array_equal(E[:, 3:9], X)
+    np.testing.assert_array_equal(E[:, 9:], 0.0)
+    # distinct slots
+    assert embed_cond_np(X, "msr")[0, 0] == 1.0
+    assert embed_cond_np(X, "co")[0, 1] == 1.0
+
+
+def test_embed_y_pads_to_canvas():
+    Y = np.ones((3, 3), np.float32)
+    P = embed_y_np(Y)
+    assert P.shape == (3, D_UNI)
+    np.testing.assert_array_equal(P[:, 3:], 0.0)
+
+
+def test_adapter_matches_manual_padding():
+    """The wrapper's apply == the raw net on a manually padded condition."""
+    cfg = {"M": 3, "W": 10.0, "proj_dim": 8, "dims": (8, 4)}
+    task = TASKS["multi_msr"]
+    model = task.build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    y = jnp.ones((4, D_UNI))
+    t = jnp.zeros((4,))
+    cond = jnp.arange(12, dtype=jnp.float32).reshape(4, 3) / 12.0
+    mask = jnp.ones((4, 1))
+    variables = model.init(key, y, t, cond, mask)
+
+    out = model.apply(variables, y, t, cond, mask)
+    assert out.shape == (4, D_UNI)
+
+    inner = unet_multi(8, (8, 4))
+    cond_pad = jnp.concatenate(
+        [jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (4, 1)), cond,
+         jnp.zeros((4, PAYLOAD - 3))], axis=1)
+    ref = inner.apply(variables, y, t, cond_pad, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0, atol=0)
+
+
+def test_wrapper_decode_crops_canvas():
+    """multi_* decodes == specialist decodes on the cropped canvas."""
+    rng = np.random.default_rng(0)
+    Y5 = jnp.asarray(rng.normal(size=(8, D_UNI)).astype(np.float32))
+
+    cfg_msr = {"M": 3, "W": 10.0, "y_scale": 3.0, "y_shift": 10.0 / 3.0}
+    X_gains = jnp.asarray(rng.uniform(0.5, 2.5, (8, 3)).astype(np.float32))
+    a = TASKS["multi_msr"].decode_with_x(Y5, X_gains, cfg_msr)
+    b = TASKS["msr_wf"].decode_with_x(Y5[:, :3], X_gains, cfg_msr)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    cfg_nu = {"K": 3, "P_sum": 18.0, "width": 400.0, "height": 400.0,
+              "y_scale": 8.0, "y_shift": [0.45, 0.45, 0.33, 0.33, 0.33]}
+    c = TASKS["multi_nu"].decode(Y5, cfg_nu)
+    d = TASKS["nu_direct"].decode(Y5, cfg_nu)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(d), atol=0)
+
+
+@pytest.fixture(scope="module")
+def tiny_multi():
+    """One tiny shared net trained a few epochs on 64 rows per task."""
+    from diffsg_tpu.train import train_ddpm
+
+    msr = load_msr(f"{REF}/3c_10w_10000samples.csv")
+    co = load_co(f"{REF}/3nodes_2000samples_ood.csv")
+    nu = load_nu(f"{REF}/3u_18mW_10000samples.csv")
+    n = 64
+    nu_shift = nu.Y_train[:n].astype(np.float32).mean(0)
+    X = np.concatenate([
+        embed_cond_np(msr.X_train[:n].astype(np.float32), "msr"),
+        embed_cond_np(co.X_train[:n].astype(np.float32), "co"),
+        embed_cond_np(nu.X_train[:n].astype(np.float32), "nu")])
+    Y = np.concatenate([
+        embed_y_np(((msr.Y_train[:n] - 10 / 3) * 3.0).astype(np.float32)),
+        embed_y_np(co.Y_train[:n].astype(np.float32)),
+        embed_y_np(((nu.Y_train[:n] - nu_shift) * 8.0).astype(np.float32))])
+
+    model = unet_multi(proj_dim=8, dims=(8, 4))
+    cfg = dataclasses.replace(TASKS["multi_nu"].train_config, epochs=2,
+                              batch_size=64, grad_clip=1.0)
+    params, _, sched = train_ddpm(model, X, Y, cfg)
+    metadata = {"arch": {"proj_dim": 8, "dims": [8, 4]},
+                "subtask_configs": {
+                    "msr": {"y_scale": 3.0, "y_shift": 10 / 3},
+                    "co": {},
+                    "nu": {"y_scale": 8.0,
+                           "y_shift": [float(v) for v in nu_shift]}}}
+    return params, sched, metadata, {"msr": msr, "co": co, "nu": nu}
+
+
+def test_multi_e2e_feasible(tiny_multi):
+    """ONE parameter set drives all three wrapper tasks; every decoded
+    solution satisfies its task's feasibility constraints."""
+    from diffsg_tpu.tasks import sample_solutions
+
+    params, sched, metadata, data = tiny_multi
+    for slot, task_key in (("msr", "multi_msr"), ("co", "multi_co"),
+                           ("nu", "multi_nu")):
+        task = TASKS[task_key]
+        d = data[slot]
+        cfg = merge_multi_config(dict(d.config), metadata, slot)
+        Y_dec, _ = sample_solutions(task, params, sched, d.X_test[:32], cfg,
+                                    omega=1.0, batch_size=32)
+        assert Y_dec.shape[1] == {"msr": 3, "co": 3, "nu": 5}[slot]
+        assert np.isfinite(Y_dec).all()
+        if slot == "msr":
+            np.testing.assert_allclose(Y_dec.sum(1), cfg["W"], rtol=1e-4)
+            assert (Y_dec >= -1e-5).all()
+        elif slot == "nu":
+            assert (Y_dec[:, 0] >= 0).all() and (Y_dec[:, 0] <= cfg["width"]).all()
+            assert (Y_dec[:, 1] >= 0).all() and (Y_dec[:, 1] <= cfg["height"]).all()
+            np.testing.assert_allclose(Y_dec[:, 2:].sum(1), cfg["P_sum"],
+                                       rtol=1e-4)
+            assert (Y_dec[:, 2:] >= -1e-5).all()
+        else:  # co: ranked decode emits a feasible allocation per row
+            assert (Y_dec >= -1e-6).all()
+            assert (Y_dec.sum(1) <= 1.0 + 1e-5).all()
+
+
+def test_multi_evaluate_runs(tiny_multi):
+    """The generic evaluate() works through the wrappers (metrics finite)."""
+    from diffsg_tpu.tasks import evaluate
+
+    params, sched, metadata, data = tiny_multi
+    d = data["msr"]
+    d.X_test, d.Y_test = d.X_test[:32], d.Y_test[:32]
+    merge_multi_config(d.config, metadata, "msr")
+    m = evaluate(TASKS["multi_msr"], params, sched, d, omega=1.0,
+                 batch_size=32)
+    assert np.isfinite(m["less_ratio"])
+
+
+def test_multi_solver_from_one_checkpoint(tiny_multi, tmp_path):
+    """ONE saved multi checkpoint serves all three tasks through
+    serve.Solver (subtask physics + transforms resolved from metadata)."""
+    from diffsg_tpu.serve import Solver
+    from diffsg_tpu.utils import save_checkpoint
+
+    params, sched, metadata, data = tiny_multi
+    sub_cfgs = {slot: {**data[slot].config,
+                       **metadata["subtask_configs"][slot]}
+                for slot in ("msr", "co", "nu")}
+    ck = tmp_path / "ddpm_multi_tiny"
+    save_checkpoint(str(ck), params, sched=sched, step=2,
+                    metadata={"task": "multi", "arch": metadata["arch"],
+                              "subtask_configs": sub_cfgs})
+    for slot, task_key in (("msr", "multi_msr"), ("co", "multi_co"),
+                           ("nu", "multi_nu")):
+        solver = Solver.from_checkpoint(str(ck), task=task_key)
+        X = data[slot].X_test[:8].astype(np.float32)
+        out = solver.solve(X, omega=1.0)
+        assert out.shape == (8, {"msr": 3, "co": 3, "nu": 5}[slot])
+        assert np.isfinite(out).all()

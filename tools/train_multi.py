@@ -1,0 +1,171 @@
+"""Train the multi-task DDPM: ONE denoiser for MSR + CO + NU.
+
+The three headline training sets are embedded into the shared canvas
+(``diffsg_tpu.tasks.multi``): task identity rides in the condition one-hot,
+each subtask keeps its headline label recipe —
+
+* MSR-3c: reference CSV, centered + scaled labels (y_shift W/M, y_scale 3),
+  served through the msr_wf projection decode (shift-invariant);
+* CO: regenerated 50k oracle CSV, raw allocation shares (eps recipe),
+  served through the ranked-decision decode;
+* NU: reference 18 mW CSV, rigid-motion augmented, per-dim centered +
+  y_scale 8, served through the nu_direct feasibility decode.
+
+Subtask rows are repeated/augmented to roughly equal thirds so the one-hot
+classes stay balanced.  The per-subtask label transforms are stored in the
+checkpoint metadata under ``subtask_configs`` and merged back at eval with
+``merge_multi_config``.
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--msr-dataset",
+                    default="/root/reference/datasets/3c_10w_10000samples.csv")
+    ap.add_argument("--co-dataset",
+                    default="datasets/3nodes_50000samples_new.csv")
+    ap.add_argument("--nu-dataset",
+                    default="/root/reference/datasets/3u_18mW_10000samples.csv")
+    ap.add_argument("--msr-repeat", type=int, default=5,
+                    help="repeat the 7k MSR train rows to balance classes")
+    ap.add_argument("--nu-times", type=int, default=4,
+                    help="rigid-motion augmentation copies for NU")
+    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--lr", type=float, default=4e-3)
+    ap.add_argument("--milestones", type=int, nargs="+", default=[80, 150])
+    ap.add_argument("--grad-clip", type=float, default=1.0)
+    ap.add_argument("--proj-dim", type=int, default=128)
+    ap.add_argument("--dims", type=int, nargs="+", default=[64, 32, 16, 8])
+    ap.add_argument("--out", default="ckpts/ddpm_multi")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--skip-eval", action="store_true")
+    args = ap.parse_args()
+
+    import dataclasses
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    import pandas as pd
+
+    from diffsg_tpu.data.generators import nu_dataset_extension
+    from diffsg_tpu.data.loaders import load_co, load_msr, load_nu
+    from diffsg_tpu.tasks import TASKS, evaluate
+    from diffsg_tpu.tasks.multi import (embed_cond_np, embed_y_np,
+                                        merge_multi_config, unet_multi)
+    from diffsg_tpu.train import train_ddpm
+    from diffsg_tpu.utils import save_checkpoint
+    from tools.make_datasets import ensure_datasets
+
+    ensure_datasets()
+    subtask_configs = {}
+    parts_X, parts_Y = [], []
+
+    # --- MSR: centered + scaled labels, the ddpm_msr_3c_wf recipe ----------
+    msr = load_msr(args.msr_dataset)
+    W, M = msr.config["W"], msr.config["M"]
+    msr_shift, msr_scale = W / M, 3.0
+    Xm = np.tile(msr.X_train, (args.msr_repeat, 1))
+    Ym = np.tile((msr.Y_train - msr_shift) * msr_scale, (args.msr_repeat, 1))
+    parts_X.append(embed_cond_np(Xm.astype(np.float32), "msr"))
+    parts_Y.append(embed_y_np(Ym.astype(np.float32)))
+    # full physics config + label transforms: lets Solver.from_checkpoint
+    # serve this subtask from the multi ckpt without a dataset in hand
+    subtask_configs["msr"] = {**msr.config, "y_scale": msr_scale,
+                              "y_shift": msr_shift}
+    print(f"msr rows: {len(Xm)} (x{args.msr_repeat})")
+
+    # --- CO: raw shares (the eps ddpm_co recipe) ---------------------------
+    co = load_co(args.co_dataset)
+    parts_X.append(embed_cond_np(co.X_train.astype(np.float32), "co"))
+    parts_Y.append(embed_y_np(co.Y_train.astype(np.float32)))
+    subtask_configs["co"] = dict(co.config)
+    print(f"co rows: {len(co.X_train)}")
+
+    # --- NU: augmented + centered + scaled, the aug32_s8c recipe -----------
+    nu = load_nu(args.nu_dataset)
+    P, w, h = (nu.config["P_sum"], nu.config["width"], nu.config["height"])
+    raw = np.array(pd.read_csv(args.nu_dataset, header=None))
+    n_train = nu.X_train.shape[0]
+    ext = nu_dataset_extension(raw[:n_train], times=args.nu_times,
+                               seed=args.seed)
+    raw_train = np.concatenate([raw[:n_train], ext])
+    Xn = raw_train[:, :6].astype(np.float32).copy()
+    Yn = raw_train[:, 6:11].astype(np.float32).copy()
+    Xn[:, 0::2] /= w
+    Xn[:, 1::2] /= h
+    Yn[:, 0] /= w
+    Yn[:, 1] /= h
+    Yn[:, 2:] /= P
+    nu_shift = Yn.mean(axis=0)
+    nu_scale = 8.0
+    parts_X.append(embed_cond_np(Xn, "nu"))
+    parts_Y.append(embed_y_np((Yn - nu_shift) * nu_scale))
+    subtask_configs["nu"] = {**nu.config, "y_scale": nu_scale,
+                             "y_shift": [float(v) for v in nu_shift]}
+    print(f"nu rows: {len(Xn)} (x{args.nu_times + 1})")
+
+    X = np.concatenate(parts_X)
+    Y = np.concatenate(parts_Y)
+    print(f"total train rows: {len(X)} "
+          f"(cond {X.shape[1]}, canvas {Y.shape[1]})")
+
+    model = unet_multi(args.proj_dim, tuple(args.dims))
+    base_cfg = TASKS["multi_nu"].train_config  # NU's 200-epoch T=20 recipe
+    cfg = dataclasses.replace(base_cfg, epochs=args.epochs, lr=args.lr,
+                              milestones=tuple(args.milestones),
+                              seed=args.seed, grad_clip=args.grad_clip)
+    params, ema, sched = train_ddpm(model, X, Y, cfg, log_every=25)
+
+    arch = {"proj_dim": args.proj_dim, "dims": list(args.dims)}
+    save_checkpoint(args.out, params, ema=ema, sched=sched, step=cfg.epochs,
+                    metadata={"task": "multi",
+                              "datasets": {"msr": args.msr_dataset,
+                                           "co": args.co_dataset,
+                                           "nu": args.nu_dataset},
+                              "msr_repeat": args.msr_repeat,
+                              "nu_times": args.nu_times,
+                              "config": dataclasses.asdict(cfg),
+                              "arch": arch,
+                              "subtask_configs": subtask_configs})
+
+    if args.skip_eval:
+        return
+    metadata = {"arch": arch, "subtask_configs": subtask_configs}
+    evals = [
+        ("multi_msr", "msr", args.msr_dataset, {}, (0.5, 1.0, 2.0)),
+        ("multi_msr", "msr",
+         "/root/reference/datasets/3c_20w_2000samples_ood.csv", {},
+         (0.5, 1.0, 2.0)),
+        ("multi_co", "co", args.co_dataset, {}, (1000.0, 5000.0, 20000.0)),
+        ("multi_co", "co",
+         "/root/reference/datasets/3nodes_2000samples_ood.csv", {},
+         (1000.0, 5000.0, 20000.0)),
+        ("multi_nu", "nu", args.nu_dataset, {}, (0.06, 0.125, 0.5)),
+        ("multi_nu", "nu",
+         "/root/reference/datasets/3u_30mW_1000samples_ood.csv", {},
+         (0.06, 0.125, 0.5)),
+    ]
+    for task_key, slot, path, load_kw, omegas in evals:
+        task = TASKS[task_key]
+        d = task.load(path, **load_kw)
+        merge_multi_config(d.config, metadata, slot)
+        for om in omegas:
+            m = evaluate(task, params, sched, d, omega=om)
+            print(json.dumps({"split": pathlib.Path(path).name,
+                              "task": task_key, "omega": om, **m}))
+
+
+if __name__ == "__main__":
+    main()
