@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--lr", type=float, default=4e-3)
     ap.add_argument("--milestones", type=int, nargs="+", default=[80, 150])
     ap.add_argument("--grad-clip", type=float, default=1.0)
+    ap.add_argument("--parameterization", choices=["eps", "x0"],
+                    default="eps",
+                    help="denoiser target: eps (reference) or x0 — the CO "
+                         "specialist's winning recipe; guidance then lives "
+                         "at omega~1 for every subtask")
     ap.add_argument("--proj-dim", type=int, default=128)
     ap.add_argument("--dims", type=int, nargs="+", default=[64, 32, 16, 8])
     ap.add_argument("--out", default="ckpts/ddpm_multi")
@@ -125,7 +130,11 @@ def main():
     base_cfg = TASKS["multi_nu"].train_config  # NU's 200-epoch T=20 recipe
     cfg = dataclasses.replace(base_cfg, epochs=args.epochs, lr=args.lr,
                               milestones=tuple(args.milestones),
-                              seed=args.seed, grad_clip=args.grad_clip)
+                              seed=args.seed, grad_clip=args.grad_clip,
+                              parameterization=args.parameterization)
+    if args.parameterization != "eps":
+        for sub_cfg in subtask_configs.values():
+            sub_cfg["parameterization"] = args.parameterization
     params, ema, sched = train_ddpm(model, X, Y, cfg, log_every=25)
 
     arch = {"proj_dim": args.proj_dim, "dims": list(args.dims)}
@@ -143,19 +152,24 @@ def main():
     if args.skip_eval:
         return
     metadata = {"arch": arch, "subtask_configs": subtask_configs}
+    if args.parameterization == "x0":
+        # x0-space CFG extrapolates solution estimates, not noise estimates:
+        # useful guidance lives at omega ~ 1 for every subtask (measured on
+        # the CO specialist, docs/RESULTS.md "CO x0-parameterization").
+        om_msr = om_co = om_nu = (0.5, 1.0, 2.0)
+    else:
+        om_msr, om_co, om_nu = ((0.5, 1.0, 2.0), (1000.0, 5000.0, 20000.0),
+                                (0.06, 0.125, 0.5))
     evals = [
-        ("multi_msr", "msr", args.msr_dataset, {}, (0.5, 1.0, 2.0)),
+        ("multi_msr", "msr", args.msr_dataset, {}, om_msr),
         ("multi_msr", "msr",
-         "/root/reference/datasets/3c_20w_2000samples_ood.csv", {},
-         (0.5, 1.0, 2.0)),
-        ("multi_co", "co", args.co_dataset, {}, (1000.0, 5000.0, 20000.0)),
+         "/root/reference/datasets/3c_20w_2000samples_ood.csv", {}, om_msr),
+        ("multi_co", "co", args.co_dataset, {}, om_co),
         ("multi_co", "co",
-         "/root/reference/datasets/3nodes_2000samples_ood.csv", {},
-         (1000.0, 5000.0, 20000.0)),
-        ("multi_nu", "nu", args.nu_dataset, {}, (0.06, 0.125, 0.5)),
+         "/root/reference/datasets/3nodes_2000samples_ood.csv", {}, om_co),
+        ("multi_nu", "nu", args.nu_dataset, {}, om_nu),
         ("multi_nu", "nu",
-         "/root/reference/datasets/3u_30mW_1000samples_ood.csv", {},
-         (0.06, 0.125, 0.5)),
+         "/root/reference/datasets/3u_30mW_1000samples_ood.csv", {}, om_nu),
     ]
     for task_key, slot, path, load_kw, omegas in evals:
         task = TASKS[task_key]
