@@ -85,7 +85,10 @@ def test_wrapper_decode_crops_canvas():
 
 @pytest.fixture(scope="module")
 def tiny_multi():
-    """One tiny shared net trained a few epochs on 64 rows per task."""
+    """One tiny shared net trained a few epochs on 64 rows per task.
+
+    Trained with the x0 parameterization like the shipped ckpts/ddpm_multi
+    (the flag must ride subtask_configs into decode/serve)."""
     from diffsg_tpu.train import train_ddpm
 
     msr = load_msr(f"{REF}/3c_10w_10000samples.csv")
@@ -104,13 +107,15 @@ def tiny_multi():
 
     model = unet_multi(proj_dim=8, dims=(8, 4))
     cfg = dataclasses.replace(TASKS["multi_nu"].train_config, epochs=2,
-                              batch_size=64, grad_clip=1.0)
+                              batch_size=64, grad_clip=1.0,
+                              parameterization="x0")
     params, _, sched = train_ddpm(model, X, Y, cfg)
     metadata = {"arch": {"proj_dim": 8, "dims": [8, 4]},
                 "subtask_configs": {
-                    "msr": {"y_scale": 3.0, "y_shift": 10 / 3},
-                    "co": {},
-                    "nu": {"y_scale": 8.0,
+                    "msr": {"y_scale": 3.0, "y_shift": 10 / 3,
+                            "parameterization": "x0"},
+                    "co": {"parameterization": "x0"},
+                    "nu": {"y_scale": 8.0, "parameterization": "x0",
                            "y_shift": [float(v) for v in nu_shift]}}}
     return params, sched, metadata, {"msr": msr, "co": co, "nu": nu}
 

@@ -52,6 +52,10 @@ line per row.  Expected values (full test splits, TPU or CPU):
   nu          best ckpt, best-of-32, 8-omega mix   -> less 1.234
   nu OOD bo32 best ckpt, best-of-32, 8-omega mix   -> less 1.233
   nu OOD aug  legacy augmented ckpt, single @ omega 2000 -> less 0.9058
+  multi       ONE x0-parameterized net for all three problems (task one-hot
+              conditioning, shared 5-dim canvas; ckpts/ddpm_multi):
+              msr 0.9999996 / OOD 1.0000005; co 1.00044 / OOD 0.99995
+              (below 1: beats the grid labels); nu 0.99967 / OOD 0.99635
   hybrid      single draw + 50 projected-gradient refine steps
               (ops.refine; objective access like the GD/GEKKO baselines):
               msr_80c 1.0000005 / 1.0000008 (residual closed);
@@ -73,8 +77,8 @@ REF = "/root/reference/datasets"
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tasks", nargs="+",
-                    default=["msr", "msr80", "co", "nu", "hybrid"],
-                    choices=["msr", "msr80", "co", "nu", "hybrid"])
+                    default=["msr", "msr80", "co", "nu", "multi", "hybrid"],
+                    choices=["msr", "msr80", "co", "nu", "multi", "hybrid"])
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -245,6 +249,34 @@ def main():
         row("nu geo universal (200x200 12mW)", "nu_geo", "ckpts/ddpm_nu_geo",
             "datasets/3u_geo200x200_12mW_500samples.csv", omega=0.06,
             load_kw={"width": 200.0, "height": 200.0, "P_sum": 12.0})
+    if "multi" in args.tasks:
+        # ONE net for all three problems (tools/train_multi.py, x0
+        # parameterization — the recipe that closed the shared-capacity CO
+        # gap; RESULTS.md "Multi-task model").  Wrapper tasks resolve the
+        # per-subtask physics + label transforms from checkpoint metadata.
+        from diffsg_tpu.tasks.multi import merge_multi_config
+
+        def mrow(name, task_key, dataset, omega, load_kw=None):
+            task = TASKS[task_key]
+            ck = load_checkpoint("ckpts/ddpm_multi")
+            data = task.load(dataset, **(load_kw or {}))
+            merge_multi_config(data.config, ck["metadata"],
+                               task_key.split("_", 1)[1])
+            m = evaluate(task, ck["params"], ck["sched"], data, omega=omega)
+            print(json.dumps({"row": name, **m}))
+
+        mrow("multi msr_3c single-draw", "multi_msr",
+             f"{REF}/3c_10w_10000samples.csv", 0.25)
+        mrow("multi msr_3c OOD 20w single-draw", "multi_msr",
+             f"{REF}/3c_20w_2000samples_ood.csv", 1.0)
+        mrow("multi co ranked single-draw", "multi_co",
+             "datasets/3nodes_50000samples_new.csv", 0.5)
+        mrow("multi co OOD ranked single-draw", "multi_co",
+             f"{REF}/3nodes_2000samples_ood.csv", 0.5)
+        mrow("multi nu single-draw", "multi_nu",
+             f"{REF}/3u_18mW_10000samples.csv", 0.0)
+        mrow("multi nu OOD 30mW single-draw", "multi_nu",
+             f"{REF}/3u_30mW_1000samples_ood.csv", 0.0)
     if "hybrid" in args.tasks:
         # hybrid diffusion + local search (ops.refine): single draw + 50
         # projected-gradient steps on the exact objective (RESULTS.md
