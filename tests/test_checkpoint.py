@@ -151,3 +151,71 @@ def test_torch_export_strict_loads_into_reference_class(tmp_path,
         jnp.asarray(t / T, jnp.float32), jnp.asarray(cond),
         jnp.ones((B, 1))))
     np.testing.assert_allclose(ours, ref_out, atol=2e-5, rtol=1e-4)
+
+
+def test_torch_export_multi_strict_loads_into_reference_class(tmp_path,
+                                                              reference_path):
+    """The MULTI-TASK checkpoint (a model family the reference does not have)
+    still exports to the reference torch layout: strict-load into the actual
+    reference ``DDPM(UNet1D)`` classes with the multi config
+    (input_dim=5 canvas, cond_dim=12 one-hot+payload) and forward-compare.
+
+    Layout parity only: ddpm_multi is x0-parameterized (checkpoint
+    metadata), so the reference's eps-interpreting sampler would mis-use the
+    weights — the export is for weight interchange, not drop-in sampling."""
+    import pathlib
+    import sys
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    ck_dir = pathlib.Path(__file__).resolve().parent.parent \
+        / "ckpts" / "ddpm_multi"
+    if not ck_dir.is_dir():
+        pytest.skip("committed multi ckpt missing")
+    sys.path.insert(0, str(reference_path))
+    try:
+        from ddpm_opt import classifier_free_NU as ref_nu
+        from ddpm_opt.UNetCF import UNet1D as RefUNet
+        from ddpm_opt.diffusion import generate_cosine_schedule
+    finally:
+        sys.path.remove(str(reference_path))
+
+    from diffsg_tpu.tasks.multi import unet_multi, D_UNI, COND_UNI
+    from diffsg_tpu.utils import load_checkpoint
+    from diffsg_tpu.utils.torch_export import ddpm_to_torch
+
+    ck = load_checkpoint(str(ck_dir))
+    arch = ck["metadata"]["arch"]
+    out_pt = str(tmp_path / "exported_multi.pt")
+    ddpm_to_torch(out_pt, ck["params"], ck["sched"], ck.get("ema"))
+
+    T = int(np.asarray(ck["sched"].betas).shape[0])
+    net = RefUNet(input_dim=D_UNI, proj_dim=arch["proj_dim"],
+                  cond_dim=COND_UNI, dims=tuple(arch["dims"]),
+                  is_attn=(False,) * len(arch["dims"]),
+                  middle_attn=False, n_blocks=2)
+    alphas = 1.0 - generate_cosine_schedule(T)
+    ddpm = ref_nu.DDPM(T, net, 3, 18.0, alphas, torch.device("cpu"),
+                       (1, D_UNI), None, 0.1, 0.9999, 10, 5, False)
+    res = ddpm.load_state_dict(
+        torch.load(out_pt, weights_only=True), strict=True)
+    assert not res.missing_keys and not res.unexpected_keys
+    ddpm.eval()
+
+    rng = np.random.default_rng(1)
+    B = 16
+    y = rng.normal(0, 1, (B, D_UNI)).astype(np.float32)
+    cond = rng.uniform(0, 1, (B, COND_UNI)).astype(np.float32)
+    t = rng.integers(0, T, (B,))
+    with torch.no_grad():
+        ref_out = net(torch.from_numpy(y),
+                      torch.from_numpy((t[None, :] / T).astype(np.float32)),
+                      torch.from_numpy(cond),
+                      torch.ones(B, 1)).numpy()
+    model = unet_multi(arch["proj_dim"], tuple(arch["dims"]))
+    ours = np.asarray(model.apply(
+        {"params": ck["params"]}, jnp.asarray(y),
+        jnp.asarray(t / T, jnp.float32), jnp.asarray(cond),
+        jnp.ones((B, 1))))
+    np.testing.assert_allclose(ours, ref_out, atol=2e-5, rtol=1e-4)
