@@ -45,6 +45,7 @@ def ddim_sample(
     renorm_steps: Optional[int] = None,
     valid_mask: Optional[jnp.ndarray] = None,
     parameterization: str = "eps",
+    skip_uncond: bool = False,
 ) -> Tuple[jnp.ndarray, None]:
     """CFG-guided DDIM over a respaced timestep sub-sequence.
 
@@ -58,6 +59,11 @@ def ddim_sample(
     assume a 20-step trajectory; applying 4 of 5 respaced steps collapses
     quality (measured on the NU aug+y_scale-8 ckpt: DDIM-5 0.662 with 4
     renorm steps vs 0.9953 with 1; DDIM-10 0.9960 with 1-2).
+
+    ``skip_uncond``: static omega==0 fast path — run only the conditional
+    half of the CFG fold (B-row forwards); outputs identical at omega=0 up
+    to XLA reassociation, ~2x throughput.  Caller checks omega before
+    tracing (see :func:`diffusion.ddpm.cfg_sample`).
     """
     B = cond.shape[0]
     T = sched.T
@@ -85,16 +91,25 @@ def ddim_sample(
     else:
         z_all = jnp.zeros((n, B, data_dim), dtype=dtype)
 
-    cond2 = jnp.concatenate([cond, cond], axis=0)
-    mask2 = jnp.concatenate(
-        [jnp.zeros((B, 1), dtype), jnp.ones((B, 1), dtype)], axis=0
-    )
+    if skip_uncond:
+        mask1 = jnp.ones((B, 1), dtype)
+
+        def net_cfg(y_t, tn):
+            return apply_fn(params, y_t, tn[None], cond, mask1)
+    else:
+        cond2 = jnp.concatenate([cond, cond], axis=0)
+        mask2 = jnp.concatenate(
+            [jnp.zeros((B, 1), dtype), jnp.ones((B, 1), dtype)], axis=0
+        )
+
+        def net_cfg(y_t, tn):
+            y2 = jnp.concatenate([y_t, y_t], axis=0)
+            eps2 = apply_fn(params, y2, tn[None], cond2, mask2)
+            return (1.0 + omega) * eps2[B:] - omega * eps2[:B]
 
     def step(y_t, inp):
         i, at, ap, tn, z = inp
-        y2 = jnp.concatenate([y_t, y_t], axis=0)
-        eps2 = apply_fn(params, y2, tn[None], cond2, mask2)
-        eps = (1.0 + omega) * eps2[B:] - omega * eps2[:B]
+        eps = net_cfg(y_t, tn)
         if parameterization == "x0":
             # model predicted x0 (CFG combined in x0 space above): convert
             eps = (y_t - jnp.sqrt(at) * eps) / jnp.sqrt(1.0 - at)

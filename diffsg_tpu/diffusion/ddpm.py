@@ -164,6 +164,7 @@ def cfg_sample(
     guidance_scale: float = 0.0,
     guidance_relative: bool = False,
     parameterization: str = "eps",
+    skip_uncond: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[SampleTrace]]:
     """Batched CFG reverse sampler as a single ``lax.scan``.
 
@@ -209,6 +210,14 @@ def cfg_sample(
         step is invisible (measured on CO); relative mode stays effective
         at every omega.  Rows at a gradient zero keep shift ~0 (soft
         1e-8 gate in the normalizer).
+      skip_uncond: static fast path for ``omega == 0``: run only the
+        conditional half of the CFG fold (a B-row forward per step instead
+        of 2B).  At omega=0 the combine ``(1+0) eps_cond - 0 eps_uncond``
+        is exactly ``eps_cond``, so the math is identical; outputs agree up
+        to XLA reassociation (differently-shaped programs fuse the renorm
+        reductions differently — measured <1e-5 over a 20-step trajectory)
+        at ~2x the throughput.  The caller must guarantee omega == 0
+        (dispatch sites check the Python-level omega before tracing).
 
     Returns ``(y_0, trace_or_None)``.
     """
@@ -228,10 +237,34 @@ def cfg_sample(
     # Fold cond/uncond into one 2B forward: rows [0:B] unconditional,
     # rows [B:2B] conditional.  Equivalent to the reference's two model calls
     # (classifier_free_MSR.py:126-127) because the network is per-sample.
-    cond2 = jnp.concatenate([cond, cond], axis=0)
-    mask2 = jnp.concatenate(
-        [jnp.zeros((B, 1), dtype), jnp.ones((B, 1), dtype)], axis=0
-    )
+    # With skip_uncond (omega==0 fast path) only the conditional half runs.
+    if skip_uncond:
+        mask1 = jnp.ones((B, 1), dtype)
+
+        def net_cfg(y_t, t_norm):
+            if compute_dtype is not None:
+                return apply_fn(params, y_t.astype(compute_dtype),
+                                t_norm.astype(compute_dtype),
+                                cond.astype(compute_dtype),
+                                mask1.astype(compute_dtype)).astype(dtype)
+            return apply_fn(params, y_t, t_norm, cond, mask1)
+    else:
+        cond2 = jnp.concatenate([cond, cond], axis=0)
+        mask2 = jnp.concatenate(
+            [jnp.zeros((B, 1), dtype), jnp.ones((B, 1), dtype)], axis=0
+        )
+
+        def net_cfg(y_t, t_norm):
+            y2 = jnp.concatenate([y_t, y_t], axis=0)
+            if compute_dtype is not None:
+                eps2 = apply_fn(params, y2.astype(compute_dtype),
+                                t_norm.astype(compute_dtype),
+                                cond2.astype(compute_dtype),
+                                mask2.astype(compute_dtype)).astype(dtype)
+            else:
+                eps2 = apply_fn(params, y2, t_norm, cond2, mask2)
+            eps_uncond, eps_cond = eps2[:B], eps2[B:]
+            return (1.0 + omega) * eps_cond - omega * eps_uncond
 
     def step(y_t, inp):
         i, z = inp
@@ -240,16 +273,7 @@ def cfg_sample(
         # per-block additions broadcast.  Numerically identical to a full-
         # batch t, but removes ~40% of the per-step FLOPs.
         t_norm = jnp.full((1,), i, dtype=dtype) / T
-        y2 = jnp.concatenate([y_t, y_t], axis=0)
-        if compute_dtype is not None:
-            eps2 = apply_fn(params, y2.astype(compute_dtype),
-                            t_norm.astype(compute_dtype),
-                            cond2.astype(compute_dtype),
-                            mask2.astype(compute_dtype)).astype(dtype)
-        else:
-            eps2 = apply_fn(params, y2, t_norm, cond2, mask2)
-        eps_uncond, eps_cond = eps2[:B], eps2[B:]
-        eps_cfg = (1.0 + omega) * eps_cond - omega * eps_uncond
+        eps_cfg = net_cfg(y_t, t_norm)
         if parameterization == "x0":
             # model output was x0: the CFG combine above happened in x0
             # space; convert to the equivalent epsilon for the reverse step

@@ -143,18 +143,24 @@ class Solver:
         # (B, 1) 1.0/0.0 mask excluding pad rows from batch-global reductions.
         param = self.config.get("parameterization", "eps")
 
-        def _single(cond, cond_unnorm, key, omega, valid):
+        # `skip` is the static omega==0 fast path (conditional-half-only CFG
+        # forwards, identical at omega=0 up to XLA reassociation, ~2x
+        # throughput — see diffusion.ddpm.cfg_sample).  _dispatch sets it
+        # from the Python-level omega, so it is a separate compile variant.
+        def _single(cond, cond_unnorm, key, omega, valid, skip=False):
             init, steps = _draw_noise(key, cond.shape[0])
             y0, _ = cfg_sample(apply_fn, self.params, self.sched, cond,
                                omega, self._D, init_noise=init,
                                step_noise=steps, valid_mask=valid,
-                               parameterization=param)
+                               parameterization=param, skip_uncond=skip)
             return _decode(y0, cond_unnorm, valid)
 
-        def _single_ddim(cond, cond_unnorm, key, omega, n_steps, valid):
+        def _single_ddim(cond, cond_unnorm, key, omega, n_steps, valid,
+                         skip=False):
             y0, _ = ddim_sample(apply_fn, self.params, self.sched, cond,
                                 omega, self._D, key=key, n_steps=n_steps,
-                                valid_mask=valid, parameterization=param)
+                                valid_mask=valid, parameterization=param,
+                                skip_uncond=skip)
             return _decode(y0, cond_unnorm, valid)
 
         def _pick(cond, cond_unnorm, key, omegas, valid, draw):
@@ -167,22 +173,27 @@ class Solver:
             decs, scores = jax.vmap(one)(keys, omegas)
             return select_best(decs, scores, self.task.higher_is_better)
 
-        def _best_of(cond, cond_unnorm, key, omegas, valid):
-            return _pick(cond, cond_unnorm, key, omegas, valid, _single)
-
-        def _best_of_ddim(cond, cond_unnorm, key, omegas, n_steps, valid):
-            # DDIM is deterministic per init noise; candidate diversity comes
-            # from per-candidate init noise (keys) and the omega mixture.
+        def _best_of(cond, cond_unnorm, key, omegas, valid, skip=False):
             def draw(c, cu, k, w, v):
-                return _single_ddim(c, cu, k, w, n_steps, v)
+                return _single(c, cu, k, w, v, skip)
 
             return _pick(cond, cond_unnorm, key, omegas, valid, draw)
 
-        self._single = jax.jit(_single)
-        self._single_ddim = jax.jit(_single_ddim, static_argnames=("n_steps",))
-        self._best_of = jax.jit(_best_of)
+        def _best_of_ddim(cond, cond_unnorm, key, omegas, n_steps, valid,
+                          skip=False):
+            # DDIM is deterministic per init noise; candidate diversity comes
+            # from per-candidate init noise (keys) and the omega mixture.
+            def draw(c, cu, k, w, v):
+                return _single_ddim(c, cu, k, w, n_steps, v, skip)
+
+            return _pick(cond, cond_unnorm, key, omegas, valid, draw)
+
+        self._single = jax.jit(_single, static_argnames=("skip",))
+        self._single_ddim = jax.jit(_single_ddim,
+                                    static_argnames=("n_steps", "skip"))
+        self._best_of = jax.jit(_best_of, static_argnames=("skip",))
         self._best_of_ddim = jax.jit(_best_of_ddim,
-                                     static_argnames=("n_steps",))
+                                     static_argnames=("n_steps", "skip"))
 
     @classmethod
     def from_checkpoint(cls, ckpt_dir: str, task: str,
@@ -329,6 +340,12 @@ class Solver:
     def _dispatch(self, cond, cu, key, omega, best_of, sampler, n_steps,
                   valid):
         single = best_of <= 1 and np.isscalar(omega)
+        # omega is still a Python scalar/list here: choose the static omega==0
+        # fast-path variant (skip the uncond half of the CFG fold) before
+        # tracing.  Identical at omega=0 up to XLA reassociation (see
+        # cfg_sample); each variant is its own compile, so mixed-omega
+        # serving keeps its cached programs.
+        skip = bool(np.all(np.asarray(omega, np.float32) == 0.0))
         if not single:
             omegas = jnp.asarray(
                 np.full(best_of, omega, np.float32) if np.isscalar(omega)
@@ -337,11 +354,13 @@ class Solver:
             steps = n_steps or self.sched.T
             if single:
                 out = self._single_ddim(cond, cu, key, jnp.float32(omega),
-                                        steps, valid)
+                                        steps, valid, skip=skip)
             else:
-                out = self._best_of_ddim(cond, cu, key, omegas, steps, valid)
+                out = self._best_of_ddim(cond, cu, key, omegas, steps, valid,
+                                         skip=skip)
         elif single:
-            out = self._single(cond, cu, key, jnp.float32(omega), valid)
+            out = self._single(cond, cu, key, jnp.float32(omega), valid,
+                               skip=skip)
         else:
-            out = self._best_of(cond, cu, key, omegas, valid)
+            out = self._best_of(cond, cu, key, omegas, valid, skip=skip)
         return out

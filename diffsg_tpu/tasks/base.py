@@ -24,20 +24,27 @@ from ..train.trainer import TrainConfig
 
 
 def _make_draw(apply_fn, params, sched, D, sampler: str, n_steps,
-               parameterization: str = "eps"):
-    """Uniform (cond, omega, key) -> y0 draw over the two samplers."""
+               parameterization: str = "eps", skip_uncond: bool = False):
+    """Uniform (cond, omega, key) -> y0 draw over the two samplers.
+
+    ``skip_uncond`` is the static omega==0 fast path (conditional-half-only
+    forwards, identical at omega=0 up to XLA reassociation — see
+    ``cfg_sample``); callers set it from the Python-level omega before
+    tracing."""
     if sampler == "ddim":
         steps = n_steps or sched.T
 
         def draw(cond, omega, key, record_trace=False):
             return ddim_sample(apply_fn, params, sched, cond, omega, D,
                                key=key, n_steps=steps,
-                               parameterization=parameterization)
+                               parameterization=parameterization,
+                               skip_uncond=skip_uncond)
     elif sampler == "ddpm":
         def draw(cond, omega, key, record_trace=False):
             return cfg_sample(apply_fn, params, sched, cond, omega, D,
                               key=key, record_trace=record_trace,
-                              parameterization=parameterization)
+                              parameterization=parameterization,
+                              skip_uncond=skip_uncond)
     else:
         raise ValueError(f"unknown sampler {sampler!r}")
     return draw
@@ -133,7 +140,8 @@ def sample_solutions(
     D = task.data_dim(config)
     X_unnorm = task.unnormalize_x(X_test, config)
     draw = _make_draw(apply_fn, params, sched, D, sampler, n_steps,
-                      config.get("parameterization", "eps"))
+                      config.get("parameterization", "eps"),
+                      skip_uncond=(float(omega) == 0.0))
 
     # omega is a traced argument so guidance-scale grids reuse one compile.
     @jax.jit
@@ -247,7 +255,8 @@ def sample_best_of_n(
     D = task.data_dim(config)
     X_unnorm = task.unnormalize_x(X_test, config)
     draw = _make_draw(apply_fn, params, sched, D, sampler, n_steps,
-                      config.get("parameterization", "eps"))
+                      config.get("parameterization", "eps"),
+                      skip_uncond=bool(np.all(omegas == 0.0)))
 
     @jax.jit
     def run(cond, cond_unnorm, key, omegas_):
