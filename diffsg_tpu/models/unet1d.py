@@ -109,11 +109,18 @@ class AttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # The reference constructs a LayerNorm it never applies in forward
+        # (``UNetCF.py:112`` defines ``self.norm``; the forward at
+        # ``:122-156`` never calls it) — materialize the same params, result
+        # discarded (XLA dead-code-eliminates it), so ``has_attn`` torch
+        # checkpoints import AND export 1:1 including the norm keys.
+        _ = nn.LayerNorm(epsilon=_LN_EPS, name="norm")(x)
         d_k = self.in_dim
         qkv = nn.Dense(self.n_heads * d_k * 3, name="projection")(x)
         qkv = qkv.reshape(x.shape[0], self.n_heads, 3 * d_k)
         _, _, v = jnp.split(qkv, 3, axis=-1)
-        # seq len is 1 -> attention weights are exactly 1.0
+        # seq len is 1 -> attention weights are exactly 1.0 and q/k are
+        # dead inputs: output(v) + x reproduces the reference forward
         res = nn.Dense(self.in_dim, name="output")(v.reshape(x.shape[0], -1))
         return res + x
 

@@ -8,7 +8,9 @@ one-hot (3) | payload (9, zero-padded)]``.  Task identity enters ONLY
 through the condition — the same conditioning mechanism the reference
 designs but never enables (``condition_C`` / the ``cdim`` config key,
 ``classifier_free_NU.py:35-75``), here carrying a discrete task id instead
-of an objective value.
+of an objective value.  The NU slot's payload additionally carries the
+power budget ``P_sum / p_ref`` (the ``nu_budget`` conditioning that closed
+the 30 mW OOD gap for the specialist), so the one net serves any budget.
 
 The wrapper tasks ``multi_msr`` / ``multi_co`` / ``multi_nu`` reuse each
 specialist's loader, decode, objective, metrics, and refinement projection
@@ -40,7 +42,7 @@ import numpy as np
 from ..models.unet1d import UNet1D
 from .co import CO_RANKED
 from .msr import MSR_WF
-from .nu import NU_DIRECT
+from .nu import NU_BUDGET
 
 #: shared solution canvas = max task dim (NU's 2+K=5; MSR-3c and CO pad up)
 D_UNI = 5
@@ -125,10 +127,13 @@ def _wrap(sub, slot: str):
 
 
 #: The three faces of the one multi-task checkpoint.  Decode flavors are the
-#: headline specialists': msr_wf projection-family, co_ranked, nu_direct.
+#: headline specialists': msr_wf projection-family, co_ranked, and the
+#: budget-conditioned nu_budget (payload ``[coords (2K) | P_sum/p_ref]`` —
+#: the conditioning that closed NU's 30 mW OOD gap rides INSIDE the shared
+#: condition, so the one multi net serves any budget like the specialist).
 MULTI_MSR = _wrap(MSR_WF, "msr")
 MULTI_CO = _wrap(CO_RANKED, "co")
-MULTI_NU = _wrap(NU_DIRECT, "nu")
+MULTI_NU = _wrap(NU_BUDGET, "nu")
 
 MULTI_TASKS = {"multi_msr": MULTI_MSR, "multi_co": MULTI_CO,
                "multi_nu": MULTI_NU}

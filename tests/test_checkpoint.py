@@ -89,12 +89,18 @@ def test_orbax_roundtrip(tmp_path):
                                np.asarray(sched.betas), rtol=1e-7)
 
 
-def test_torch_export_strict_loads_into_reference_class(tmp_path,
-                                                        reference_path):
-    """Export a framework-trained NU ckpt and strict-load it into the ACTUAL
+def _export_strict_load_forward_compare(tmp_path, reference_path, ckpt_name,
+                                        model_fn, input_dim, cond_dim,
+                                        arch=None, seed=0):
+    """Shared export-parity flow: load a committed framework checkpoint,
+    export it to the reference torch layout, strict-load into the ACTUAL
     reference ``DDPM(UNet1D)`` classes (``classifier_free_NU.py:79-180``),
-    then compare a denoiser forward pass torch-vs-flax.  This is the claim
-    docs/PARITY.md makes for torch_export; here it runs in CI."""
+    and compare a denoiser forward pass torch-vs-flax.
+
+    ``arch`` defaults to the checkpoint's own ``metadata['arch']`` record
+    (proj_dim/dims/n_blocks/is_attn/middle_attn), so the reference net is
+    constructed from one source of truth; ``model_fn(arch)`` builds the
+    matching flax module."""
     import pathlib
     import sys
 
@@ -102,9 +108,9 @@ def test_torch_export_strict_loads_into_reference_class(tmp_path,
 
     torch = pytest.importorskip("torch")
     ck_dir = pathlib.Path(__file__).resolve().parent.parent \
-        / "ckpts" / "ddpm_nu_3u_aug32_s8c"
+        / "ckpts" / ckpt_name
     if not ck_dir.is_dir():
-        pytest.skip("committed NU ckpt missing")
+        pytest.skip(f"committed ckpt {ckpt_name} missing")
     sys.path.insert(0, str(reference_path))
     try:
         from ddpm_opt import classifier_free_NU as ref_nu
@@ -113,30 +119,34 @@ def test_torch_export_strict_loads_into_reference_class(tmp_path,
     finally:
         sys.path.remove(str(reference_path))
 
-    from diffsg_tpu.models import unet_nu
     from diffsg_tpu.utils import load_checkpoint
     from diffsg_tpu.utils.torch_export import ddpm_to_torch
 
     ck = load_checkpoint(str(ck_dir))
-    out_pt = str(tmp_path / "exported_nu.pt")
+    if arch is None:
+        arch = ck["metadata"]["arch"]
+    out_pt = str(tmp_path / "exported.pt")
     ddpm_to_torch(out_pt, ck["params"], ck["sched"], ck.get("ema"))
 
     T = int(np.asarray(ck["sched"].betas).shape[0])
-    net = RefUNet(input_dim=5, proj_dim=32, cond_dim=6,
-                  dims=(32, 16, 8), is_attn=(False, False, False),
-                  middle_attn=False, n_blocks=2)
+    dims = tuple(arch["dims"])
+    net = RefUNet(input_dim=input_dim, proj_dim=arch["proj_dim"],
+                  cond_dim=cond_dim, dims=dims,
+                  is_attn=tuple(arch.get("is_attn", (False,) * len(dims))),
+                  middle_attn=arch.get("middle_attn", False),
+                  n_blocks=arch.get("n_blocks", 2))
     alphas = 1.0 - generate_cosine_schedule(T)
-    ddpm = ref_nu.DDPM(T, net, 3, 18.0, alphas, torch.device("cpu"), (1, 5),
-                       None, 0.1, 0.9999, 10, 5, False)
-    missing = ddpm.load_state_dict(
+    ddpm = ref_nu.DDPM(T, net, 3, 18.0, alphas, torch.device("cpu"),
+                       (1, input_dim), None, 0.1, 0.9999, 10, 5, False)
+    res = ddpm.load_state_dict(
         torch.load(out_pt, weights_only=True), strict=True)  # raises on skew
-    assert not missing.missing_keys and not missing.unexpected_keys
+    assert not res.missing_keys and not res.unexpected_keys
     ddpm.eval()
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     B = 16
-    y = rng.normal(0, 1, (B, 5)).astype(np.float32)
-    cond = rng.uniform(0, 1, (B, 6)).astype(np.float32)
+    y = rng.normal(0, 1, (B, input_dim)).astype(np.float32)
+    cond = rng.uniform(0, 1, (B, cond_dim)).astype(np.float32)
     t = rng.integers(0, T, (B,))
     with torch.no_grad():
         # time is passed (1, B)/T exactly as the reference sampler does
@@ -145,77 +155,43 @@ def test_torch_export_strict_loads_into_reference_class(tmp_path,
                       torch.from_numpy((t[None, :] / T).astype(np.float32)),
                       torch.from_numpy(cond),
                       torch.ones(B, 1)).numpy()
-    model = unet_nu(3)
+    model = model_fn(arch)
     ours = np.asarray(model.apply(
         {"params": ck["params"]}, jnp.asarray(y),
         jnp.asarray(t / T, jnp.float32), jnp.asarray(cond),
         jnp.ones((B, 1))))
     np.testing.assert_allclose(ours, ref_out, atol=2e-5, rtol=1e-4)
+
+
+def test_torch_export_strict_loads_into_reference_class(tmp_path,
+                                                        reference_path):
+    """Export a framework-trained NU ckpt and strict-load it into the ACTUAL
+    reference classes, forward-compared.  This is the claim docs/PARITY.md
+    makes for torch_export; here it runs in CI."""
+    from diffsg_tpu.models import unet_nu
+
+    # the aug32_s8c ckpt predates the arch metadata record: its config is
+    # the standard NU zoo entry (unet_nu), passed explicitly
+    _export_strict_load_forward_compare(
+        tmp_path, reference_path, "ddpm_nu_3u_aug32_s8c",
+        model_fn=lambda arch: unet_nu(3), input_dim=5, cond_dim=6,
+        arch={"proj_dim": 32, "dims": (32, 16, 8)}, seed=0)
 
 
 def test_torch_export_multi_strict_loads_into_reference_class(tmp_path,
                                                               reference_path):
     """The MULTI-TASK checkpoint (a model family the reference does not have)
-    still exports to the reference torch layout: strict-load into the actual
-    reference ``DDPM(UNet1D)`` classes with the multi config
-    (input_dim=5 canvas, cond_dim=12 one-hot+payload) and forward-compare.
+    still exports to the reference torch layout: strict-load + forward-compare
+    with the multi config (input_dim=5 canvas, cond_dim=12 one-hot+payload),
+    reconstructed entirely from the checkpoint's own arch metadata.
 
     Layout parity only: ddpm_multi is x0-parameterized (checkpoint
     metadata), so the reference's eps-interpreting sampler would mis-use the
     weights — the export is for weight interchange, not drop-in sampling."""
-    import pathlib
-    import sys
-
-    import pytest
-
-    torch = pytest.importorskip("torch")
-    ck_dir = pathlib.Path(__file__).resolve().parent.parent \
-        / "ckpts" / "ddpm_multi"
-    if not ck_dir.is_dir():
-        pytest.skip("committed multi ckpt missing")
-    sys.path.insert(0, str(reference_path))
-    try:
-        from ddpm_opt import classifier_free_NU as ref_nu
-        from ddpm_opt.UNetCF import UNet1D as RefUNet
-        from ddpm_opt.diffusion import generate_cosine_schedule
-    finally:
-        sys.path.remove(str(reference_path))
-
     from diffsg_tpu.tasks.multi import unet_multi, D_UNI, COND_UNI
-    from diffsg_tpu.utils import load_checkpoint
-    from diffsg_tpu.utils.torch_export import ddpm_to_torch
 
-    ck = load_checkpoint(str(ck_dir))
-    arch = ck["metadata"]["arch"]
-    out_pt = str(tmp_path / "exported_multi.pt")
-    ddpm_to_torch(out_pt, ck["params"], ck["sched"], ck.get("ema"))
-
-    T = int(np.asarray(ck["sched"].betas).shape[0])
-    net = RefUNet(input_dim=D_UNI, proj_dim=arch["proj_dim"],
-                  cond_dim=COND_UNI, dims=tuple(arch["dims"]),
-                  is_attn=(False,) * len(arch["dims"]),
-                  middle_attn=False, n_blocks=2)
-    alphas = 1.0 - generate_cosine_schedule(T)
-    ddpm = ref_nu.DDPM(T, net, 3, 18.0, alphas, torch.device("cpu"),
-                       (1, D_UNI), None, 0.1, 0.9999, 10, 5, False)
-    res = ddpm.load_state_dict(
-        torch.load(out_pt, weights_only=True), strict=True)
-    assert not res.missing_keys and not res.unexpected_keys
-    ddpm.eval()
-
-    rng = np.random.default_rng(1)
-    B = 16
-    y = rng.normal(0, 1, (B, D_UNI)).astype(np.float32)
-    cond = rng.uniform(0, 1, (B, COND_UNI)).astype(np.float32)
-    t = rng.integers(0, T, (B,))
-    with torch.no_grad():
-        ref_out = net(torch.from_numpy(y),
-                      torch.from_numpy((t[None, :] / T).astype(np.float32)),
-                      torch.from_numpy(cond),
-                      torch.ones(B, 1)).numpy()
-    model = unet_multi(arch["proj_dim"], tuple(arch["dims"]))
-    ours = np.asarray(model.apply(
-        {"params": ck["params"]}, jnp.asarray(y),
-        jnp.asarray(t / T, jnp.float32), jnp.asarray(cond),
-        jnp.ones((B, 1))))
-    np.testing.assert_allclose(ours, ref_out, atol=2e-5, rtol=1e-4)
+    _export_strict_load_forward_compare(
+        tmp_path, reference_path, "ddpm_multi",
+        model_fn=lambda arch: unet_multi(arch["proj_dim"],
+                                         tuple(arch["dims"])),
+        input_dim=D_UNI, cond_dim=COND_UNI, seed=1)

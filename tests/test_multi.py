@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from diffsg_tpu.data.loaders import load_co, load_msr, load_nu
+from diffsg_tpu.data.loaders import load_co, load_msr, load_nu_budget
 from diffsg_tpu.tasks import TASKS
 from diffsg_tpu.tasks.multi import (COND_UNI, D_UNI, PAYLOAD, SLOTS,
                                     embed_cond_np, embed_y_np,
@@ -93,7 +93,8 @@ def tiny_multi():
 
     msr = load_msr(f"{REF}/3c_10w_10000samples.csv")
     co = load_co(f"{REF}/3nodes_2000samples_ood.csv")
-    nu = load_nu(f"{REF}/3u_18mW_10000samples.csv")
+    # multi_nu is budget-conditioned: the NU payload is [coords (6), P/p_ref]
+    nu = load_nu_budget(f"{REF}/3u_18mW_10000samples.csv")
     n = 64
     nu_shift = nu.Y_train[:n].astype(np.float32).mean(0)
     X = np.concatenate([

@@ -8,8 +8,12 @@ each subtask keeps its headline label recipe —
   served through the msr_wf projection decode (shift-invariant);
 * CO: regenerated 50k oracle CSV, raw allocation shares (eps recipe),
   served through the ranked-decision decode;
-* NU: reference 18 mW CSV, rigid-motion augmented, per-dim centered +
-  y_scale 8, served through the nu_direct feasibility decode.
+* NU: the nu_budget recipe — multi-budget oracle CSV (budgets 9..36 mW,
+  18 and 30 excluded) + the reference 18 mW train split with budget column
+  appended, rigid-motion augmented, per-dim centered + y_scale 8; the
+  condition payload carries ``P_sum / p_ref`` so the ONE multi net serves
+  any budget (the conditioning that closed the specialist's 30 mW OOD
+  gap), served through the nu_budget per-row feasibility decode.
 
 Subtask rows are repeated/augmented to roughly equal thirds so the one-hot
 classes stay balanced.  The per-subtask label transforms are stored in the
@@ -35,9 +39,15 @@ def main():
                     default="datasets/3nodes_50000samples_new.csv")
     ap.add_argument("--nu-dataset",
                     default="/root/reference/datasets/3u_18mW_10000samples.csv")
-    ap.add_argument("--msr-repeat", type=int, default=5,
+    ap.add_argument("--nu-budget-dataset",
+                    default="datasets/3u_budget9-36_10000samples.csv",
+                    help="13-col multi-budget oracle CSV "
+                         "(tools/make_datasets.py nu-budget)")
+    ap.add_argument("--msr-repeat", type=int, default=14,
                     help="repeat the 7k MSR train rows to balance classes")
-    ap.add_argument("--nu-times", type=int, default=4,
+    ap.add_argument("--co-repeat", type=int, default=3,
+                    help="repeat the 35k CO train rows to balance classes")
+    ap.add_argument("--nu-times", type=int, default=5,
                     help="rigid-motion augmentation copies for NU")
     ap.add_argument("--epochs", type=int, default=200)
     ap.add_argument("--lr", type=float, default=4e-3)
@@ -93,33 +103,36 @@ def main():
 
     # --- CO: raw shares (the eps ddpm_co recipe) ---------------------------
     co = load_co(args.co_dataset)
-    parts_X.append(embed_cond_np(co.X_train.astype(np.float32), "co"))
-    parts_Y.append(embed_y_np(co.Y_train.astype(np.float32)))
+    Xc = np.tile(co.X_train, (args.co_repeat, 1))
+    Yc = np.tile(co.Y_train, (args.co_repeat, 1))
+    parts_X.append(embed_cond_np(Xc.astype(np.float32), "co"))
+    parts_Y.append(embed_y_np(Yc.astype(np.float32)))
     subtask_configs["co"] = dict(co.config)
-    print(f"co rows: {len(co.X_train)}")
+    print(f"co rows: {len(Xc)} (x{args.co_repeat})")
 
-    # --- NU: augmented + centered + scaled, the aug32_s8c recipe -----------
+    # --- NU: the nu_budget recipe (budget-conditioned, aug + centered) -----
+    from diffsg_tpu.data.loaders import NU_P_REF, TRAIN_RATIO
+    from tools.train_nu_budget import load_budget_rows, normalize_rows
+
     nu = load_nu(args.nu_dataset)
-    P, w, h = (nu.config["P_sum"], nu.config["width"], nu.config["height"])
-    raw = np.array(pd.read_csv(args.nu_dataset, header=None))
-    n_train = nu.X_train.shape[0]
-    ext = nu_dataset_extension(raw[:n_train], times=args.nu_times,
-                               seed=args.seed)
-    raw_train = np.concatenate([raw[:n_train], ext])
-    Xn = raw_train[:, :6].astype(np.float32).copy()
-    Yn = raw_train[:, 6:11].astype(np.float32).copy()
-    Xn[:, 0::2] /= w
-    Xn[:, 1::2] /= h
-    Yn[:, 0] /= w
-    Yn[:, 1] /= h
-    Yn[:, 2:] /= P
+    w, h, p_ref = nu.config["width"], nu.config["height"], NU_P_REF
+    raw_b = load_budget_rows(args.nu_budget_dataset, w, h)
+    raw_i = np.array(pd.read_csv(args.nu_dataset, header=None))
+    raw_i = raw_i[: int(raw_i.shape[0] * TRAIN_RATIO)]  # train split only
+    raw_i = np.concatenate(
+        [raw_i, np.full((raw_i.shape[0], 1), nu.config["P_sum"])], axis=1)
+    base = np.concatenate([raw_b, raw_i])
+    ext = nu_dataset_extension(base, times=args.nu_times, seed=args.seed)
+    rows = np.concatenate([base, ext])
+    Xn, Yn = normalize_rows(rows, w, h, p_ref)
     nu_shift = Yn.mean(axis=0)
     nu_scale = 8.0
-    parts_X.append(embed_cond_np(Xn, "nu"))
-    parts_Y.append(embed_y_np((Yn - nu_shift) * nu_scale))
-    subtask_configs["nu"] = {**nu.config, "y_scale": nu_scale,
+    parts_X.append(embed_cond_np(Xn.astype(np.float32), "nu"))
+    parts_Y.append(embed_y_np(((Yn - nu_shift) * nu_scale).astype(np.float32)))
+    subtask_configs["nu"] = {**nu.config, "p_ref": p_ref, "y_scale": nu_scale,
                              "y_shift": [float(v) for v in nu_shift]}
-    print(f"nu rows: {len(Xn)} (x{args.nu_times + 1})")
+    print(f"nu rows: {len(Xn)} ({len(base)} base x{args.nu_times + 1}, "
+          f"budget-conditioned)")
 
     X = np.concatenate(parts_X)
     Y = np.concatenate(parts_Y)
@@ -137,13 +150,20 @@ def main():
             sub_cfg["parameterization"] = args.parameterization
     params, ema, sched = train_ddpm(model, X, Y, cfg, log_every=25)
 
-    arch = {"proj_dim": args.proj_dim, "dims": list(args.dims)}
+    # n_blocks/is_attn are part of the arch record so eval/export code can
+    # reconstruct the exact net from the checkpoint alone (single source of
+    # truth — see unet_multi, which fixes both today).
+    arch = {"proj_dim": args.proj_dim, "dims": list(args.dims),
+            "n_blocks": 2, "is_attn": [False] * len(args.dims),
+            "middle_attn": False}
     save_checkpoint(args.out, params, ema=ema, sched=sched, step=cfg.epochs,
                     metadata={"task": "multi",
                               "datasets": {"msr": args.msr_dataset,
                                            "co": args.co_dataset,
-                                           "nu": args.nu_dataset},
+                                           "nu": args.nu_dataset,
+                                           "nu_budget": args.nu_budget_dataset},
                               "msr_repeat": args.msr_repeat,
+                              "co_repeat": args.co_repeat,
                               "nu_times": args.nu_times,
                               "config": dataclasses.asdict(cfg),
                               "arch": arch,
@@ -155,11 +175,13 @@ def main():
     if args.parameterization == "x0":
         # x0-space CFG extrapolates solution estimates, not noise estimates:
         # useful guidance lives at omega ~ 1 for every subtask (measured on
-        # the CO specialist, docs/RESULTS.md "CO x0-parameterization").
-        om_msr = om_co = om_nu = (0.5, 1.0, 2.0)
+        # the CO specialist, docs/RESULTS.md "CO x0-parameterization"); the
+        # round-3 x0 multi NU peaked at omega 0 (pure conditional sampling).
+        om_msr = om_co = (0.5, 1.0, 2.0)
+        om_nu = (0.0, 0.06, 0.25, 1.0)
     else:
         om_msr, om_co, om_nu = ((0.5, 1.0, 2.0), (1000.0, 5000.0, 20000.0),
-                                (0.06, 0.125, 0.5))
+                                (0.0, 0.06, 0.125, 0.5))
     evals = [
         ("multi_msr", "msr", args.msr_dataset, {}, om_msr),
         ("multi_msr", "msr",
