@@ -266,7 +266,7 @@ def main():
             print(json.dumps({"row": name, **m}))
 
         mrow("multi msr_3c single-draw", "multi_msr",
-             f"{REF}/3c_10w_10000samples.csv", 0.25)
+             f"{REF}/3c_10w_10000samples.csv", 0.5)
         mrow("multi msr_3c OOD 20w single-draw", "multi_msr",
              f"{REF}/3c_20w_2000samples_ood.csv", 1.0)
         mrow("multi co ranked single-draw", "multi_co",
