@@ -195,3 +195,81 @@ def test_torch_export_multi_strict_loads_into_reference_class(tmp_path,
         model_fn=lambda arch: unet_multi(arch["proj_dim"],
                                          tuple(arch["dims"])),
         input_dim=D_UNI, cond_dim=COND_UNI, seed=1)
+
+
+def test_attention_config_torch_roundtrip(tmp_path, reference_path):
+    """Checkpoint interchange for ATTENTION-enabled configs (a dormant
+    reference capability: ``UNetCF.py:98-157`` AttentionBlock, instantiated
+    with has_attn=False in every shipped model).  A torch-constructed
+    ``has_attn=True`` UNet1D round-trips: import -> flax forward parity ->
+    export -> strict-load into a fresh reference DDPM with identical keys.
+
+    The reference block defines a LayerNorm (``norm``) it never applies in
+    its own forward; our flax twin materializes the same params so the key
+    sets match exactly (models/unet1d.py AttentionBlock)."""
+    import pathlib
+    import sys
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, str(reference_path))
+    try:
+        from ddpm_opt import classifier_free_NU as ref_nu
+        from ddpm_opt.UNetCF import UNet1D as RefUNet
+        from ddpm_opt.diffusion import generate_cosine_schedule
+    finally:
+        sys.path.remove(str(reference_path))
+
+    from diffsg_tpu.models.unet1d import UNet1D
+    from diffsg_tpu.utils.torch_export import ddpm_to_torch
+    from diffsg_tpu.utils.torch_import import ddpm_from_torch
+
+    T = 20
+    kw = dict(input_dim=5, proj_dim=32, cond_dim=6, dims=(32, 16, 8),
+              is_attn=(True, False, True), middle_attn=True, n_blocks=2)
+    torch.manual_seed(0)
+    net = RefUNet(**kw)
+    alphas = 1.0 - generate_cosine_schedule(T)
+    ddpm = ref_nu.DDPM(T, net, 3, 18.0, alphas, torch.device("cpu"), (1, 5),
+                       None, 0.1, 0.9999, 10, 5, False)
+    ddpm.eval()
+    src_pt = str(tmp_path / "attn_src.pt")
+    torch.save(ddpm.state_dict(), src_pt)
+
+    # --- import: torch -> flax, forward parity -----------------------------
+    params, ema_params, sched, _ = ddpm_from_torch(src_pt)
+    model = UNet1D(**kw)
+    rng = np.random.default_rng(2)
+    B = 16
+    y = rng.normal(0, 1, (B, 5)).astype(np.float32)
+    cond = rng.uniform(0, 1, (B, 6)).astype(np.float32)
+    t = rng.integers(0, T, (B,))
+    with torch.no_grad():
+        ref_out = net(torch.from_numpy(y),
+                      torch.from_numpy((t[None, :] / T).astype(np.float32)),
+                      torch.from_numpy(cond),
+                      torch.ones(B, 1)).numpy()
+    ours = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(y), jnp.asarray(t / T, jnp.float32),
+        jnp.asarray(cond), jnp.ones((B, 1))))
+    np.testing.assert_allclose(ours, ref_out, atol=2e-5, rtol=1e-4)
+
+    # --- export: flax -> torch, strict-load + exact key set -----------------
+    from diffsg_tpu.train.ema import EmaState
+
+    out_pt = str(tmp_path / "attn_roundtrip.pt")
+    ddpm_to_torch(out_pt, params, sched,
+                  EmaState(params=ema_params, n_averaged=0))
+    fresh = ref_nu.DDPM(T, RefUNet(**kw), 3, 18.0, alphas,
+                        torch.device("cpu"), (1, 5), None, 0.1, 0.9999,
+                        10, 5, False)
+    res = fresh.load_state_dict(torch.load(out_pt, weights_only=True),
+                                strict=True)
+    assert not res.missing_keys and not res.unexpected_keys
+    exported = torch.load(out_pt, weights_only=True)
+    original = torch.load(src_pt, weights_only=True)
+    assert set(exported) == set(original)
+    for k in original:
+        np.testing.assert_allclose(exported[k].numpy(), original[k].numpy(),
+                                   atol=1e-6, err_msg=k)
