@@ -113,6 +113,9 @@ def ddim_sample(
         if parameterization == "x0":
             # model predicted x0 (CFG combined in x0 space above): convert
             eps = (y_t - jnp.sqrt(at) * eps) / jnp.sqrt(1.0 - at)
+        elif parameterization == "v":
+            # model predicted v: eps = sqrt(1-abar) y_t + sqrt(abar) v
+            eps = jnp.sqrt(1.0 - at) * y_t + jnp.sqrt(at) * eps
 
         # DDIM update: predict y0, then step to the previous alpha_bar
         y0_pred = (y_t - jnp.sqrt(1.0 - at) * eps) / jnp.sqrt(at)

@@ -70,9 +70,12 @@ def ddpm_loss(
     uncond_prob: float = 0.1,
     parameterization: str = "eps",
 ) -> jnp.ndarray:
-    """CFG training loss (MSE in epsilon, or in y0 for ``parameterization=
-    "x0"`` — the x0-predicting variant; samplers convert back to epsilon,
-    see :func:`cfg_sample`).
+    """CFG training loss: MSE in epsilon (reference), in y0 for
+    ``parameterization="x0"``, or in the velocity
+    ``v = sqrt(abar_t) eps - sqrt(1-abar_t) y0`` for ``"v"`` (Salimans &
+    Ho 2022 progressive-distillation parameterization — a bounded mix of
+    the two targets that avoids the eps=0 collapse mode of scaled-label
+    eps training; samplers convert back to epsilon, see :func:`cfg_sample`).
 
     Reference: ``classifier_free_MSR.py:100-112``.  Timesteps are sampled
     per-row uniform in ``[0, T)``; the condition is dropped (masked to zero
@@ -87,7 +90,16 @@ def ddpm_loss(
     cond_mask = jax.random.bernoulli(k_mask, 1.0 - uncond_prob, (B, 1)).astype(y0.dtype)
     t_norm = t.astype(y0.dtype) / T
     pred = apply_fn(params, y_t, t_norm, cond, cond_mask)
-    target = noise if parameterization == "eps" else y0
+    if parameterization == "eps":
+        target = noise
+    elif parameterization == "x0":
+        target = y0
+    elif parameterization == "v":
+        a = sched.sqrt_alphas_cumprod[t][:, None]
+        b = sched.sqrt_one_minus_alphas_cumprod[t][:, None]
+        target = a * noise - b * y0
+    else:
+        raise ValueError(f"unknown parameterization {parameterization!r}")
     return jnp.mean((target - pred) ** 2)
 
 
@@ -279,6 +291,12 @@ def cfg_sample(
             # space; convert to the equivalent epsilon for the reverse step
             eps_cfg = (y_t - sched.sqrt_alphas_cumprod[i] * eps_cfg) \
                 / sched.sqrt_one_minus_alphas_cumprod[i]
+        elif parameterization == "v":
+            # model output was v = sqrt(abar) eps - sqrt(1-abar) x0; with
+            # y_t = sqrt(abar) x0 + sqrt(1-abar) eps the identity
+            # eps = sqrt(1-abar) y_t + sqrt(abar) v converts back exactly
+            eps_cfg = sched.sqrt_one_minus_alphas_cumprod[i] * y_t \
+                + sched.sqrt_alphas_cumprod[i] * eps_cfg
         if guidance_fn is not None:
             sq1m = sched.sqrt_one_minus_alphas_cumprod[i]
             x0_hat = (y_t - sq1m * eps_cfg) / sched.sqrt_alphas_cumprod[i]

@@ -63,8 +63,10 @@ class TrainConfig:
     #: to the trivial eps=0 minimum between epochs 10-20); clipping tames it
     #: without changing the reference-parity default path.
     grad_clip: Optional[float] = None
-    #: "eps" (reference) or "x0": predict y0 directly (framework extension;
-    #: samplers convert back to epsilon — see diffusion.ddpm.cfg_sample)
+    #: "eps" (reference), "x0" (predict y0 directly), or "v" (velocity
+    #: sqrt(abar) eps - sqrt(1-abar) y0; Salimans & Ho 2022).  Framework
+    #: extension; samplers convert back to epsilon — see
+    #: diffusion.ddpm.cfg_sample.
     parameterization: str = "eps"
 
 

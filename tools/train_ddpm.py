@@ -41,7 +41,7 @@ def main():
                          "projection decode is invariant to per-row constant "
                          "shifts (the projection removes any c*1 component), "
                          "so decoding needs no inverse shift.")
-    ap.add_argument("--parameterization", choices=["eps", "x0"],
+    ap.add_argument("--parameterization", choices=["eps", "x0", "v"],
                     default="eps",
                     help="denoiser target: eps (reference) or x0 (predict "
                          "y0 directly; carried in ckpt metadata so "
