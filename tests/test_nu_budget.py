@@ -149,3 +149,30 @@ def test_load_msr_budget_and_task_wiring(reference_path):
     r_task = np.asarray(t.objective(Y, jnp.asarray(xu, jnp.float32), td.config))
     r_base = np.asarray(msr_sum_rate(Y, jnp.asarray(xu[:, :3], jnp.float32)))
     np.testing.assert_allclose(r_task, r_base)
+
+
+def test_msr_80c_budget_ckpt_loads_and_forwards():
+    """Round-4 shipped ckpt: W-conditioned 80c model (RESULTS.md "Round 4:
+    the data x width x schedule cell closes 80c in-dist").  Wiring check:
+    metadata arch rebuilds the net, params apply, eval budgets 20/40 are
+    excluded from the training grid."""
+    import jax.numpy as jnp
+
+    from diffsg_tpu.tasks import TASKS
+    from diffsg_tpu.utils import load_checkpoint
+
+    ck = load_checkpoint("ckpts/ddpm_msr_80c_budget")
+    md = ck["metadata"]
+    budgets = md["budgets"]
+    assert 20.0 not in budgets and 40.0 not in budgets
+    assert md["dataset_config"]["proj_dim"] == 256
+
+    t = TASKS["msr_budget"]
+    model = t.build_model(md["dataset_config"])
+    x = jnp.zeros((4, 81), jnp.float32)
+    y = jnp.zeros((4, 80), jnp.float32)
+    ts = jnp.zeros((4,), jnp.float32)
+    mask = jnp.ones((4, 1), jnp.float32)
+    out = model.apply({"params": ck["params"]}, y, ts, x, mask)
+    assert out.shape == (4, 80)
+    assert np.isfinite(np.asarray(out)).all()

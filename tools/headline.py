@@ -17,6 +17,13 @@ line per row.  Expected values (full test splits, TPU or CPU):
               optimum (20w OOD -> 0.99998); completes the reference's
               published 8c GEKKO row (its unshipped dataset's labels were
               0.38% suboptimal; ours regenerate optimal to 9 digits)
+  msr_80c wf250k  round-4 scaling cell (250k fresh-seed wf samples, 4x
+              width, gentle lr 5e-4/clip 0.25 schedule), omega 1 single
+              draw -> less 0.99960 in-dist / 0.99184 40w OOD
+  msr_80c W-cond  one model for any W (trained on budgets 5..45 step 2.5
+              EXCLUDING 20 and 40, same width+recipe): single draw
+              -> 0.99937 at unseen 20w (omega 0.5) / 0.99983 at unseen
+              40w (omega 1) — closes the 80c OOD gap
   msr_80c wf  wf50k ckpt (50k oracle samples, y_scale 8), msr_wf decode,
               omega 8: in-dist single draw -> less 0.9962 vs the exact
               waterfilling optimum; 40w OOD -> 0.9931
@@ -62,6 +69,9 @@ line per row.  Expected values (full test splits, TPU or CPU):
               nu budget 1.6432 / 1.6565 (beats the grid labels by ~64%)
 
 Usage:  python tools/headline.py [--tasks msr co nu msr80 hybrid] [--cpu]
+        python tools/headline.py --fast   # 5-row smoke tier, first 512 eval
+                                          # rows each — seconds when the
+                                          # compile cache is warm
 """
 
 import argparse
@@ -80,7 +90,18 @@ def main():
                     default=["msr", "msr80", "co", "nu", "multi", "hybrid"],
                     choices=["msr", "msr80", "co", "nu", "multi", "hybrid"])
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--fast", action="store_true",
+                    help="smoke tier: one representative row per task family "
+                         "on the first --limit (default 512) eval rows — "
+                         "seconds with a warm compile cache; values are "
+                         "single-batch, NOT the documented full-split numbers")
+    ap.add_argument("--limit", type=int, default=None,
+                    help="evaluate only the first N test rows (decoders have "
+                         "batch-global semantics, so values shift slightly "
+                         "vs the full split)")
     args = ap.parse_args()
+    if args.fast and args.limit is None:
+        args.limit = 512
 
     import jax
 
@@ -98,10 +119,20 @@ def main():
 
     ensure_datasets()  # datasets/ is gitignored; regenerate whatever is gone
 
-    def row(name, task_key, ckpt, dataset, load_kw=None, **kw):
+    def limit_data(data):
+        if args.limit:
+            data.X_test = data.X_test[: args.limit]
+            data.Y_test = data.Y_test[: args.limit]
+            if data.R_test is not None:
+                data.R_test = data.R_test[: args.limit]
+
+    def row(name, task_key, ckpt, dataset, load_kw=None, fast=False, **kw):
+        if args.fast and not fast:
+            return
         task = TASKS[task_key]
         ck = load_checkpoint(ckpt)
         data = task.load(dataset, **(load_kw or {}))
+        limit_data(data)
         from diffsg_tpu.tasks.base import merge_ckpt_config
 
         merge_ckpt_config(data.config, ck.get("metadata"))
@@ -113,7 +144,7 @@ def main():
 
     if "msr" in args.tasks:
         row("msr_3c wf single-draw", "msr_wf", "ckpts/ddpm_msr_3c_wf",
-            f"{REF}/3c_10w_10000samples.csv", omega=1.0)
+            f"{REF}/3c_10w_10000samples.csv", omega=1.0, fast=True)
         row("msr_3c wf OOD 20w single-draw", "msr_wf", "ckpts/ddpm_msr_3c_wf",
             f"{REF}/3c_20w_2000samples_ood.csv", omega=1.0)
         row("msr_3c best-of-8 (legacy softmax path)", "msr", "ckpts/ddpm_msr_3c",
@@ -130,6 +161,26 @@ def main():
             "ckpts/ddpm_msr_8c_wf",
             "datasets/8c_20w_wf_2000samples_ood.csv", omega=1.0)
     if "msr80" in args.tasks:
+        # round-4 scaling cell: 250k fresh-seed wf samples x 4x width x
+        # gentle schedule (lr 5e-4, clip 0.25) — single draw >=0.999
+        # in-dist at omega=1 (RESULTS.md "Round 4: the data x width x
+        # schedule cell closes 80c in-dist").
+        row("msr_80c wf250k single-draw", "msr_wf",
+            "ckpts/ddpm_msr_80c_wf250k",
+            "datasets/80c_20w_wf_10000samples.csv", omega=1.0, fast=True)
+        row("msr_80c wf250k OOD 40w single-draw", "msr_wf",
+            "ckpts/ddpm_msr_80c_wf250k",
+            "datasets/80c_40w_wf_2000samples_ood.csv", omega=1.0)
+        # W-conditioned 80c (trained on budgets 5..45 step 2.5 EXCLUDING
+        # 20 and 40): one model for any W, >=0.999 single draw on BOTH
+        # unseen eval budgets — closes the 80c OOD gap the W=20
+        # specialist can't (0.9918).
+        row("msr_80c W-conditioned single-draw (20w unseen)", "msr_budget",
+            "ckpts/ddpm_msr_80c_budget",
+            "datasets/80c_20w_wf_10000samples.csv", omega=0.5)
+        row("msr_80c W-conditioned OOD 40w single-draw (unseen)",
+            "msr_budget", "ckpts/ddpm_msr_80c_budget",
+            "datasets/80c_40w_wf_2000samples_ood.csv", omega=1.0)
         row("msr_80c wf50k single-draw", "msr_wf", "ckpts/ddpm_msr_80c_wf50k",
             "datasets/80c_20w_wf_10000samples.csv", omega=8.0)
         row("msr_80c wf50k OOD 40w single-draw", "msr_wf",
@@ -145,7 +196,7 @@ def main():
     co_x0_mix = [0., 0.5, 1., 1.5] * 2
     if "co" in args.tasks:
         row("co x0 ranked single-draw", "co_ranked", "ckpts/ddpm_co_x0",
-            "datasets/3nodes_50000samples_new.csv", omega=1.0)
+            "datasets/3nodes_50000samples_new.csv", omega=1.0, fast=True)
         row("co OOD x0 ranked single-draw", "co_ranked", "ckpts/ddpm_co_x0",
             f"{REF}/3nodes_2000samples_ood.csv", omega=1.0)
         row("co x0 ranked bo8 mix", "co_ranked", "ckpts/ddpm_co_x0",
@@ -192,7 +243,7 @@ def main():
             f"{REF}/3u_30mW_1000samples_ood.csv", omega=0.5)
         row("nu budget-conditioned single-draw", "nu_budget",
             "ckpts/ddpm_nu_budget",
-            f"{REF}/3u_18mW_10000samples.csv", omega=0.06)
+            f"{REF}/3u_18mW_10000samples.csv", omega=0.06, fast=True)
         row("nu budget-conditioned OOD 30mW single-draw", "nu_budget",
             "ckpts/ddpm_nu_budget",
             f"{REF}/3u_30mW_1000samples_ood.csv", omega=0.06)
@@ -256,17 +307,20 @@ def main():
         # per-subtask physics + label transforms from checkpoint metadata.
         from diffsg_tpu.tasks.multi import merge_multi_config
 
-        def mrow(name, task_key, dataset, omega, load_kw=None):
+        def mrow(name, task_key, dataset, omega, load_kw=None, fast=False):
+            if args.fast and not fast:
+                return
             task = TASKS[task_key]
             ck = load_checkpoint("ckpts/ddpm_multi")
             data = task.load(dataset, **(load_kw or {}))
+            limit_data(data)
             merge_multi_config(data.config, ck["metadata"],
                                task_key.split("_", 1)[1])
             m = evaluate(task, ck["params"], ck["sched"], data, omega=omega)
             print(json.dumps({"row": name, **m}))
 
         mrow("multi msr_3c single-draw", "multi_msr",
-             f"{REF}/3c_10w_10000samples.csv", 0.5)
+             f"{REF}/3c_10w_10000samples.csv", 0.5, fast=True)
         mrow("multi msr_3c OOD 20w single-draw", "multi_msr",
              f"{REF}/3c_20w_2000samples_ood.csv", 1.0)
         mrow("multi co ranked single-draw", "multi_co",

@@ -147,6 +147,14 @@ def main(argv=None):
     nug.add_argument("--exclude-budgets", type=float, nargs="*",
                      default=[18.0, 30.0])
     nug.add_argument("--grid-step", type=float, default=2.0)
+    nug.add_argument("--focus-frac", type=float, default=0.0,
+                     help="fraction of samples importance-sampled from the "
+                          "focus geometry range (densify cells near the "
+                          "reference 400 m field; rest uniform over the "
+                          "full grid).  Focus rows are interleaved "
+                          "randomly, not blocked.")
+    nug.add_argument("--focus-geom-min", type=float, default=320.0)
+    nug.add_argument("--focus-geom-max", type=float, default=480.0)
     nug.add_argument("--seed", type=int, default=0)
     nug.add_argument("--out", required=True)
 
@@ -240,6 +248,12 @@ def main(argv=None):
         rng = np.random.default_rng(args.seed)
         Ws = rng.choice(geoms, size=args.samples)
         Hs = rng.choice(geoms, size=args.samples)
+        if args.focus_frac > 0:
+            focus = geoms[(geoms >= args.focus_geom_min - 1e-9)
+                          & (geoms <= args.focus_geom_max + 1e-9)]
+            sel = rng.random(args.samples) < args.focus_frac
+            Ws[sel] = rng.choice(focus, size=int(sel.sum()))
+            Hs[sel] = rng.choice(focus, size=int(sel.sum()))
         Ps = rng.choice(budgets_grid, size=args.samples)
         data = np.zeros((args.samples, 15))
         data[:, 12], data[:, 13], data[:, 14] = Ps, Ws, Hs

@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--milestones", type=int, nargs="+", default=None)
     ap.add_argument("--y-scale", type=float, default=3.0)
+    ap.add_argument("--proj-dim", type=int, default=None,
+                    help="UNet proj width (model-zoo scaling knob; default "
+                         "128 via tasks/msr.py build_model)")
+    ap.add_argument("--dims", type=int, nargs="+", default=None,
+                    help="UNet stage widths (default 64 32 16 8)")
     ap.add_argument("--grad-clip", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--omegas", type=float, nargs="+",
@@ -81,6 +86,10 @@ def main():
     cfg_d = {"M": M, "W": MSR_W_REF, "w_ref": MSR_W_REF,
              "scaler_min": scaler_min, "scaler_max": scaler_max,
              "y_scale": args.y_scale}
+    if args.proj_dim:
+        cfg_d["proj_dim"] = args.proj_dim
+    if args.dims:
+        cfg_d["dims"] = tuple(args.dims)
     model = task.build_model(cfg_d)
     overrides = {k: v for k, v in [("epochs", args.epochs), ("lr", args.lr),
                                    ("seed", args.seed),
@@ -96,9 +105,12 @@ def main():
                               "config": dataclasses.asdict(cfg),
                               "dataset_config": cfg_d})
 
-    for name, path in (("in-dist-10w", args.indist), ("ood-20w", args.ood)):
+    for name, path in (("in-dist", args.indist), ("ood", args.ood)):
         d = task.load(path)
         d.config["y_scale"] = args.y_scale
+        for k in ("proj_dim", "dims"):
+            if k in cfg_d:
+                d.config[k] = cfg_d[k]
         for om in args.omegas:
             m = evaluate(task, params, sched, d, omega=om)
             print(json.dumps({"split": name, "task": task.name,
