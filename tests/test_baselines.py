@@ -339,3 +339,81 @@ def test_gekko_nu_scipy_reproduces_published_misscaling(nu_data):
                               jnp.asarray(X, jnp.float32)))
     ratio = pred.sum() / true.sum()
     assert 0.3 < ratio < 0.7, ratio
+
+
+# --- From-scratch retrain parity (round 4) --------------------------------------
+#
+# ckpts/retrain_* were produced by tools/train_baselines.py with the exact
+# reference recipes (MTFNN.py:29-287, PPO.py:102-484).  Pinned values are the
+# metrics printed at train time; eval here is deterministic, so tolerances are
+# tight.  Where a retrain lands below the shipped reference ckpt (MTFNN-NU,
+# PPO-NU), tools/ref_retrain_probe.py reran the REFERENCE'S OWN torch recipe
+# and landed in the same cluster — see docs/RESULTS.md "From-scratch baseline
+# retrains".
+
+RETRAIN_PINS = {
+    # dir, pinned ratio, higher_is_better
+    "retrain_mtfnn_co": ("exceeded_ratio", 1.06299),
+    "retrain_mtfnn_nu": ("less_ratio", 0.89001),
+    "retrain_ppo_msr_3c": ("less_ratio", 0.99895),
+    "retrain_ppo_co": ("exceeded_ratio", 1.59212),
+    "retrain_ppo_nu": ("less_ratio", 0.46586),
+}
+
+
+def _retrain_eval(name, reference_path):
+    import pathlib
+
+    from diffsg_tpu.tasks import TASKS
+    from diffsg_tpu.tasks.base import objective_metrics
+    from diffsg_tpu.utils import load_checkpoint
+
+    d = pathlib.Path("ckpts") / name
+    if not d.exists():
+        pytest.skip(f"{name} checkpoint missing")
+    ck = load_checkpoint(str(d))
+    meta = ck["metadata"]
+    task = TASKS[meta["task"]]
+    ds = meta["dataset"]
+    if ds.startswith("/root/reference"):
+        ds = str(reference_path / "datasets" / ds.split("/")[-1])
+    td = task.load(ds)
+    cfg = td.config
+    params = ck["params"]
+
+    if meta["algo"] == "mtfnn":
+        if meta["task"] == "msr":
+            model = mtfnn_msr_model(cfg["M"])
+            Y_pred = np.asarray(model.apply(
+                {"params": params}, jnp.asarray(td.X_test, jnp.float32))) * cfg["W"]
+        elif meta["task"] == "co":
+            model = mtfnn_co_model()
+            Y_pred = np.asarray(model.apply(
+                {"params": params}, jnp.asarray(td.X_test, jnp.float32)))
+        else:
+            model = mtfnn_nu_model(cfg["K"])
+            Y_pred = np.array(model.apply(
+                {"params": params}, jnp.asarray(td.X_test, jnp.float32)))
+            Y_pred[:, 0] *= cfg["width"]
+            Y_pred[:, 1] *= cfg["height"]
+            Y_pred[:, 2:] *= cfg["P_sum"]
+    else:
+        if meta["task"] == "msr":
+            agent = PPOAgent(cfg["M"], cfg["M"])
+            tf = lambda a: jax.nn.softmax(a, axis=1) * cfg["W"]
+        elif meta["task"] == "co":
+            agent = PPOAgent(3 * cfg["node_num"], cfg["node_num"])
+            tf = lambda a: jax.nn.softmax(a, axis=1)
+        else:
+            agent = PPOAgent(2 * cfg["K"], 2 + cfg["K"])
+            tf = lambda a: nu_decode(a, cfg["width"], cfg["height"], cfg["P_sum"])
+        Y_pred = np.asarray(ppo_predict(agent, params, td.X_test, tf))
+
+    return objective_metrics(task, td, Y_pred)
+
+
+@pytest.mark.parametrize("name", sorted(RETRAIN_PINS))
+def test_retrain_ckpt_reproduces_pinned_quality(name, reference_path):
+    key, pin = RETRAIN_PINS[name]
+    metrics = _retrain_eval(name, reference_path)
+    assert abs(metrics[key] - pin) < 2e-3, metrics
