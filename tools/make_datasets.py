@@ -155,6 +155,11 @@ def main(argv=None):
                           "randomly, not blocked.")
     nug.add_argument("--focus-geom-min", type=float, default=320.0)
     nug.add_argument("--focus-geom-max", type=float, default=480.0)
+    nug.add_argument("--focus-geom-step", type=float, default=None,
+                     help="geometry grid step inside the focus range "
+                          "(default: the base --geom-step).  A finer focus "
+                          "step (e.g. 20) densifies interpolation toward "
+                          "the excluded reference 400 m cell.")
     nug.add_argument("--seed", type=int, default=0)
     nug.add_argument("--out", required=True)
 
@@ -248,18 +253,24 @@ def main(argv=None):
         rng = np.random.default_rng(args.seed)
         Ws = rng.choice(geoms, size=args.samples)
         Hs = rng.choice(geoms, size=args.samples)
+        all_geoms = geoms
         if args.focus_frac > 0:
-            focus = geoms[(geoms >= args.focus_geom_min - 1e-9)
-                          & (geoms <= args.focus_geom_max + 1e-9)]
+            if args.focus_geom_step is not None:
+                focus = _grid(args.focus_geom_min, args.focus_geom_max,
+                              args.focus_geom_step, args.exclude_geoms)
+            else:
+                focus = geoms[(geoms >= args.focus_geom_min - 1e-9)
+                              & (geoms <= args.focus_geom_max + 1e-9)]
             sel = rng.random(args.samples) < args.focus_frac
             Ws[sel] = rng.choice(focus, size=int(sel.sum()))
             Hs[sel] = rng.choice(focus, size=int(sel.sum()))
+            all_geoms = np.unique(np.concatenate([geoms, focus]))
         Ps = rng.choice(budgets_grid, size=args.samples)
         data = np.zeros((args.samples, 15))
         data[:, 12], data[:, 13], data[:, 14] = Ps, Ws, Hs
         n_done = 0
-        for w in geoms:  # coords need the geometry; one gen+solve per (W,H)
-            for h in geoms:
+        for w in all_geoms:  # coords need the geometry; one gen+solve per (W,H)
+            for h in all_geoms:
                 gsel = np.nonzero((Ws == w) & (Hs == h))[0]
                 if not gsel.size:
                     continue

@@ -76,8 +76,19 @@ def augment_geo(raw: np.ndarray, times: int, seed: int) -> np.ndarray:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--geo-dataset",
-                    default="datasets/3u_geo200-600_10000samples.csv")
+    ap.add_argument("--geo-dataset", nargs="+",
+                    default=["datasets/3u_geo200-600_10000samples.csv"],
+                    help="one or more 15-col mixed-geometry CSVs "
+                         "(concatenated)")
+    ap.add_argument("--budget-dataset", default=None,
+                    help="optional 13-col multi-budget CSV (the blind "
+                         "nu_budget model's 400x400 training set), folded "
+                         "in as 15-col rows at W=H=400 so the universal "
+                         "model sees everything the specialist saw")
+    ap.add_argument("--with-ref-indist", action="store_true",
+                    help="also fold in the reference 18 mW TRAIN split "
+                         "(rows the blind nu_budget specialist trains on) "
+                         "as 15-col rows at P=18, W=H=400")
     ap.add_argument("--indist",
                     default="/root/reference/datasets/3u_18mW_10000samples.csv")
     ap.add_argument("--ood",
@@ -110,7 +121,25 @@ def main():
     task = TASKS["nu_geo"]
     p_ref, w_ref, h_ref = NU_P_REF, 400.0, 400.0
 
-    base = load_geo_rows(args.geo_dataset)
+    parts = [load_geo_rows(p) for p in args.geo_dataset]
+    if args.budget_dataset:  # 13-col -> 15-col at the reference geometry
+        import pandas as pd
+
+        raw_b = np.array(pd.read_csv(args.budget_dataset, header=None))
+        assert raw_b.shape[1] == 13, f"expected 13 cols, got {raw_b.shape[1]}"
+        parts.append(np.concatenate(
+            [raw_b, np.full((raw_b.shape[0], 2), 400.0)], axis=1))
+    if args.with_ref_indist:  # 12-col reference split -> 15-col, train rows
+        import pandas as pd
+
+        from diffsg_tpu.data.loaders import TRAIN_RATIO
+
+        raw_i = np.array(pd.read_csv(args.indist, header=None))
+        raw_i = raw_i[: int(raw_i.shape[0] * TRAIN_RATIO)]
+        parts.append(np.concatenate(
+            [raw_i, np.tile([18.0, 400.0, 400.0], (raw_i.shape[0], 1))],
+            axis=1))
+    base = np.concatenate(parts)
     ext = augment_geo(base, times=args.times, seed=args.seed)
     rows = np.concatenate([base, ext])
     X, Y = normalize_rows_geo(rows, p_ref, w_ref, h_ref)
@@ -140,6 +169,8 @@ def main():
     save_checkpoint(args.out, params, ema=ema, sched=sched, step=cfg.epochs,
                     metadata={"task": "nu_geo",
                               "geo_dataset": args.geo_dataset,
+                              "budget_dataset": args.budget_dataset,
+                              "with_ref_indist": args.with_ref_indist,
                               "augmented_times": args.times,
                               "config": dataclasses.asdict(cfg),
                               "dataset_config": dataset_config})
