@@ -114,6 +114,44 @@ def test_normalize_rows_geo_round_trip():
     np.testing.assert_allclose(xu[:, 8], raw[:, 14], rtol=1e-12)
 
 
+def test_assemble_training_rows_folds_specialist_data(tmp_path,
+                                                      reference_path):
+    """The densified universal recipe trains on everything the blind
+    nu_budget specialist saw: 15-col geo CSVs as-is, the 13-col multi-budget
+    CSV at W=H=400, and the reference 18 mW TRAIN split (first 70% of the
+    unshuffled CSV, ``classifier_free_NU.py:206-208``) at P=18, W=H=400."""
+    from tools.train_nu_geo import assemble_training_rows
+
+    rng = np.random.default_rng(3)
+    geo = rng.uniform(0, 1, (5, 15))
+    bud = rng.uniform(0, 1, (4, 13))
+    gp, bp = tmp_path / "geo.csv", tmp_path / "bud.csv"
+    np.savetxt(gp, geo, delimiter=",")
+    np.savetxt(bp, bud, delimiter=",")
+    ref_csv = str(reference_path / "datasets/3u_18mW_10000samples.csv")
+    n_ref = sum(1 for _ in open(ref_csv))
+
+    rows = assemble_training_rows([str(gp), str(gp)], budget_path=str(bp),
+                                  indist_path=ref_csv)
+    n_tr = int(n_ref * 0.7)
+    assert rows.shape == (10 + 4 + n_tr, 15)
+    np.testing.assert_allclose(rows[:5], geo, rtol=1e-12)
+    np.testing.assert_allclose(rows[10:14, :13], bud, rtol=1e-12)
+    np.testing.assert_allclose(rows[10:14, 13:], 400.0)   # budget CSV geometry
+    ref_rows = rows[14:]
+    np.testing.assert_allclose(ref_rows[:, 12], 18.0)     # P_sum
+    np.testing.assert_allclose(ref_rows[:, 13:], 400.0)   # W, H
+    # first reference row is the CSV's first row (train split is a prefix)
+    import pandas as pd
+
+    head = np.array(pd.read_csv(ref_csv, header=None, nrows=1))[0]
+    np.testing.assert_allclose(ref_rows[0, :12], head, rtol=1e-12)
+
+    # geo-only call is unchanged by the optional parts
+    only = assemble_training_rows([str(gp)])
+    np.testing.assert_allclose(only, geo, rtol=1e-12)
+
+
 def test_augment_geo_stays_in_field():
     from tools.train_nu_geo import augment_geo
 

@@ -57,6 +57,37 @@ def normalize_rows_geo(raw: np.ndarray, p_ref: float = 18.0,
     return X, Y
 
 
+def assemble_training_rows(geo_paths, budget_path=None, indist_path=None,
+                           train_ratio=0.7):
+    """Concatenate training rows into the 15-col mixed-geometry layout
+    ``[q x 6, L x 2, P x 3, rate, P_sum, W, H]``:
+
+    - ``geo_paths``: 15-col mixed-geometry CSVs, taken as-is;
+    - ``budget_path``: optional 13-col multi-budget CSV (the blind
+      ``nu_budget`` specialist's 400x400 set) -> W=H=400 appended;
+    - ``indist_path``: optional 12-col reference split
+      (``3u_18mW_10000samples.csv`` layout); only the first
+      ``train_ratio`` rows (the reference's unshuffled train split,
+      ``classifier_free_NU.py:206-208``) are used, with P=18, W=H=400.
+    """
+    import pandas as pd
+
+    parts = [load_geo_rows(p) for p in geo_paths]
+    if budget_path:
+        raw_b = np.array(pd.read_csv(budget_path, header=None))
+        assert raw_b.shape[1] == 13, f"expected 13 cols, got {raw_b.shape[1]}"
+        parts.append(np.concatenate(
+            [raw_b, np.full((raw_b.shape[0], 2), 400.0)], axis=1))
+    if indist_path:
+        raw_i = np.array(pd.read_csv(indist_path, header=None))
+        assert raw_i.shape[1] == 12, f"expected 12 cols, got {raw_i.shape[1]}"
+        raw_i = raw_i[: int(raw_i.shape[0] * train_ratio)]
+        parts.append(np.concatenate(
+            [raw_i, np.tile([18.0, 400.0, 400.0], (raw_i.shape[0], 1))],
+            axis=1))
+    return np.concatenate(parts)
+
+
 def augment_geo(raw: np.ndarray, times: int, seed: int) -> np.ndarray:
     """Rigid-motion augmentation per (W, H) group: motions must stay inside
     each row's own field, so the augmenter runs with that group's size."""
@@ -121,25 +152,12 @@ def main():
     task = TASKS["nu_geo"]
     p_ref, w_ref, h_ref = NU_P_REF, 400.0, 400.0
 
-    parts = [load_geo_rows(p) for p in args.geo_dataset]
-    if args.budget_dataset:  # 13-col -> 15-col at the reference geometry
-        import pandas as pd
+    from diffsg_tpu.data.loaders import TRAIN_RATIO
 
-        raw_b = np.array(pd.read_csv(args.budget_dataset, header=None))
-        assert raw_b.shape[1] == 13, f"expected 13 cols, got {raw_b.shape[1]}"
-        parts.append(np.concatenate(
-            [raw_b, np.full((raw_b.shape[0], 2), 400.0)], axis=1))
-    if args.with_ref_indist:  # 12-col reference split -> 15-col, train rows
-        import pandas as pd
-
-        from diffsg_tpu.data.loaders import TRAIN_RATIO
-
-        raw_i = np.array(pd.read_csv(args.indist, header=None))
-        raw_i = raw_i[: int(raw_i.shape[0] * TRAIN_RATIO)]
-        parts.append(np.concatenate(
-            [raw_i, np.tile([18.0, 400.0, 400.0], (raw_i.shape[0], 1))],
-            axis=1))
-    base = np.concatenate(parts)
+    base = assemble_training_rows(
+        args.geo_dataset, budget_path=args.budget_dataset,
+        indist_path=args.indist if args.with_ref_indist else None,
+        train_ratio=TRAIN_RATIO)
     ext = augment_geo(base, times=args.times, seed=args.seed)
     rows = np.concatenate([base, ext])
     X, Y = normalize_rows_geo(rows, p_ref, w_ref, h_ref)
