@@ -84,7 +84,8 @@ def _load_flagship(jnp, jax, skip_ckpt=False):
 
 
 def _measure_sampler(jax, jnp, apply_fn, params, sched, cond_dim, data_dim,
-                     omega, B, mesh=None, compute_dtype=None, reps=5):
+                     omega, B, mesh=None, compute_dtype=None, reps=5,
+                     skip_uncond=False):
     from diffsg_tpu.diffusion import cfg_sample
 
     kw = {"compute_dtype": compute_dtype} if compute_dtype is not None else {}
@@ -92,7 +93,7 @@ def _measure_sampler(jax, jnp, apply_fn, params, sched, cond_dim, data_dim,
     @jax.jit
     def run(cond, k):
         y0, _ = cfg_sample(apply_fn, params, sched, cond, omega, data_dim,
-                           key=k, **kw)
+                           key=k, skip_uncond=skip_uncond, **kw)
         return y0
 
     rng = np.random.default_rng(0)
@@ -112,7 +113,10 @@ def _measure_sampler(jax, jnp, apply_fn, params, sched, cond_dim, data_dim,
 
 def _per_task_rows(jax, jnp, mesh):
     """NU/CO throughput at the reference protocol (their trained ckpts,
-    T=20, omega=500), batch 32768 — one row per task when the ckpt exists."""
+    T=20, omega=500), batch 32768 — one row per task when the ckpt exists.
+    ``nu_omega0`` measures the omega=0 fast path (skip the uncond half of
+    the folded CFG forward; several serving configs — multi-NU, nu_budget —
+    sit at omega<=0.06) on the same NU net for a like-for-like ratio."""
     import pathlib
 
     from diffsg_tpu.tasks import TASKS
@@ -122,8 +126,10 @@ def _per_task_rows(jax, jnp, mesh):
     # was recorded in metadata (values = the shipped training datasets)
     fallback_cfg = {"co": {"node_num": 3}}
     rows = {}
-    for task_name, ckpt_name, B in (("nu", "ddpm_nu_3u_best", 32768),
-                                    ("co", "ddpm_co", 32768)):
+    for row_key, task_name, ckpt_name, B, omega in (
+            ("nu", "nu", "ddpm_nu_3u_best", 32768, None),
+            ("nu_omega0", "nu", "ddpm_nu_3u_best", 32768, 0.0),
+            ("co", "co", "ddpm_co", 32768, None)):
         ckpt = pathlib.Path(__file__).parent / "ckpts" / ckpt_name
         if not ckpt.exists():
             continue
@@ -141,9 +147,10 @@ def _per_task_rows(jax, jnp, mesh):
 
         sps = _measure_sampler(
             jax, jnp, apply_fn, p_bf16, ck["sched"], task.cond_dim(cfg),
-            task.data_dim(cfg), task.default_omega, B, mesh=mesh,
-            compute_dtype=jnp.bfloat16, reps=3)
-        rows[task_name] = {
+            task.data_dim(cfg),
+            task.default_omega if omega is None else omega, B, mesh=mesh,
+            compute_dtype=jnp.bfloat16, reps=3, skip_uncond=(omega == 0.0))
+        rows[row_key] = {
             "solutions_per_sec": round(sps, 1),
             "T": int(ck["sched"].T),
             "batch_size": B,

@@ -293,13 +293,19 @@ def unet_co(node_num: int = 3) -> UNet1D:
                   middle_attn=False, n_blocks=3)
 
 
-def unet_nu(K: int = 3, cond_extra: int = 0) -> UNet1D:
+def unet_nu(K: int = 3, cond_extra: int = 0, proj_dim: int = 32,
+            dims=(32, 16, 8)) -> UNet1D:
     """NU config (``classifier_free_NU.py:230-231``).
 
     ``cond_extra`` widens the condition vector for the conditioning
     capability the reference designs but never enables (the ``cdim`` config
     key / commented-out ``condition_C``, ``classifier_free_NU.py:35-75``) —
-    e.g. +1 for the power-budget feature of the ``nu_budget`` task."""
-    return UNet1D(input_dim=2 + K, proj_dim=32, cond_dim=2 * K + cond_extra,
-                  dims=(32, 16, 8), is_attn=(False,) * 3,
+    e.g. +1 for the power-budget feature of the ``nu_budget`` task.
+    ``proj_dim``/``dims`` default to the reference architecture; overriding
+    them (recorded in checkpoint metadata, resolved at load via
+    ``config['proj_dim']/['dims']``) scales the denoiser — the universal
+    nu_geo model uses this to buy capacity for the geometry axis."""
+    return UNet1D(input_dim=2 + K, proj_dim=proj_dim,
+                  cond_dim=2 * K + cond_extra, dims=tuple(dims),
+                  is_attn=(False,) * len(dims),
                   middle_attn=False, n_blocks=2)

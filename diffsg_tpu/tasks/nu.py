@@ -218,7 +218,9 @@ def _load_nu_geo(dataset_path, width=400.0, height=400.0, P_sum=None):
 #: mixed-geometry oracle set (``tools/make_datasets.py nu-geo``).
 NU_GEO = _dc.replace(
     NU, name="nu_geo",
-    build_model=lambda cfg: unet_nu(cfg["K"], cond_extra=3),
+    build_model=lambda cfg: unet_nu(cfg["K"], cond_extra=3,
+                                    proj_dim=cfg.get("proj_dim", 32),
+                                    dims=tuple(cfg.get("dims", (32, 16, 8)))),
     load=_load_nu_geo,
     decode=_decode_direct,            # fallback; sample paths use decode_with_x
     decode_with_x=_decode_geo,

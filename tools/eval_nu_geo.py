@@ -50,6 +50,7 @@ def main():
     jax.config.update("jax_default_matmul_precision", "highest")
 
     from diffsg_tpu.tasks import TASKS, evaluate
+    from diffsg_tpu.tasks.base import merge_ckpt_config
     from diffsg_tpu.utils import load_checkpoint
     from tools.make_datasets import ensure_datasets
 
@@ -57,11 +58,10 @@ def main():
                      if c[1].startswith("datasets/")])
     task = TASKS["nu_geo"]
     ck = load_checkpoint(args.ckpt)
-    dc = ck["metadata"]["dataset_config"]
 
     for label, path, kw in CONFIGS:
         d = task.load(path, **kw)
-        d.config.update({k: dc[k] for k in ("y_scale", "y_shift") if k in dc})
+        merge_ckpt_config(d.config, ck.get("metadata"))
         if args.limit:
             d.X_test, d.Y_test = d.X_test[:args.limit], d.Y_test[:args.limit]
             if d.R_test is not None:

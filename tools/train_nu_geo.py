@@ -58,7 +58,7 @@ def normalize_rows_geo(raw: np.ndarray, p_ref: float = 18.0,
 
 
 def assemble_training_rows(geo_paths, budget_path=None, indist_path=None,
-                           train_ratio=0.7):
+                           train_ratio=0.7, budget_repeat=1, ref_repeat=1):
     """Concatenate training rows into the 15-col mixed-geometry layout
     ``[q x 6, L x 2, P x 3, rate, P_sum, W, H]``:
 
@@ -69,6 +69,9 @@ def assemble_training_rows(geo_paths, budget_path=None, indist_path=None,
       (``3u_18mW_10000samples.csv`` layout); only the first
       ``train_ratio`` rows (the reference's unshuffled train split,
       ``classifier_free_NU.py:206-208``) are used, with P=18, W=H=400.
+
+    ``budget_repeat``/``ref_repeat`` tile those parts to up-weight the
+    reference 400x400 cell against the mixed-geometry mass.
     """
     import pandas as pd
 
@@ -76,15 +79,17 @@ def assemble_training_rows(geo_paths, budget_path=None, indist_path=None,
     if budget_path:
         raw_b = np.array(pd.read_csv(budget_path, header=None))
         assert raw_b.shape[1] == 13, f"expected 13 cols, got {raw_b.shape[1]}"
-        parts.append(np.concatenate(
-            [raw_b, np.full((raw_b.shape[0], 2), 400.0)], axis=1))
+        part = np.concatenate(
+            [raw_b, np.full((raw_b.shape[0], 2), 400.0)], axis=1)
+        parts.append(np.tile(part, (budget_repeat, 1)))
     if indist_path:
         raw_i = np.array(pd.read_csv(indist_path, header=None))
         assert raw_i.shape[1] == 12, f"expected 12 cols, got {raw_i.shape[1]}"
         raw_i = raw_i[: int(raw_i.shape[0] * train_ratio)]
-        parts.append(np.concatenate(
+        part = np.concatenate(
             [raw_i, np.tile([18.0, 400.0, 400.0], (raw_i.shape[0], 1))],
-            axis=1))
+            axis=1)
+        parts.append(np.tile(part, (ref_repeat, 1)))
     return np.concatenate(parts)
 
 
@@ -136,6 +141,16 @@ def main():
     ap.add_argument("--y-scale", type=float, default=8.0)
     ap.add_argument("--no-center", dest="center", action="store_false")
     ap.add_argument("--grad-clip", type=float, default=1.0)
+    ap.add_argument("--proj-dim", type=int, default=None,
+                    help="denoiser width override (checkpoint-owned "
+                         "config key; default = reference NU arch 32)")
+    ap.add_argument("--dims", type=int, nargs="+", default=None,
+                    help="denoiser stage widths override, e.g. 64 32 16")
+    ap.add_argument("--ref-repeat", type=int, default=1,
+                    help="repeat factor for the --with-ref-indist rows "
+                         "(up-weight the reference 18 mW cell)")
+    ap.add_argument("--budget-repeat", type=int, default=1,
+                    help="repeat factor for the --budget-dataset rows")
     args = ap.parse_args()
 
     import jax
@@ -157,7 +172,8 @@ def main():
     base = assemble_training_rows(
         args.geo_dataset, budget_path=args.budget_dataset,
         indist_path=args.indist if args.with_ref_indist else None,
-        train_ratio=TRAIN_RATIO)
+        train_ratio=TRAIN_RATIO, budget_repeat=args.budget_repeat,
+        ref_repeat=args.ref_repeat)
     ext = augment_geo(base, times=args.times, seed=args.seed)
     rows = np.concatenate([base, ext])
     X, Y = normalize_rows_geo(rows, p_ref, w_ref, h_ref)
@@ -168,6 +184,10 @@ def main():
 
     cfg_d = {"K": 3, "P_sum": 18.0, "width": w_ref, "height": h_ref,
              "p_ref": p_ref, "w_ref": w_ref, "h_ref": h_ref}
+    if args.proj_dim is not None:
+        cfg_d["proj_dim"] = args.proj_dim
+    if args.dims is not None:
+        cfg_d["dims"] = tuple(args.dims)
     model = task.build_model(cfg_d)
     overrides = {k: v for k, v in [("epochs", args.epochs), ("lr", args.lr),
                                    ("seed", args.seed),
@@ -193,9 +213,11 @@ def main():
                               "config": dataclasses.asdict(cfg),
                               "dataset_config": dataset_config})
 
+    from diffsg_tpu.tasks.base import CKPT_CONFIG_KEYS
+
     for name, path in (("in-dist", args.indist), ("ood", args.ood)):
         d = task.load(path)
-        d.config.update({k: dataset_config[k] for k in ("y_scale", "y_shift")
+        d.config.update({k: dataset_config[k] for k in CKPT_CONFIG_KEYS
                          if k in dataset_config})
         for om in args.omegas:
             m = evaluate(task, params, sched, d, omega=om)
