@@ -41,6 +41,9 @@ def main():
                     default=[0.06, 0.125, 0.25, 0.5])
     ap.add_argument("--limit", type=int, default=None,
                     help="cap eval rows per config (full split by default)")
+    ap.add_argument("--ema", action="store_true",
+                    help="evaluate the checkpoint's EMA weights instead of "
+                         "the raw params")
     args = ap.parse_args()
 
     import jax
@@ -58,6 +61,7 @@ def main():
                      if c[1].startswith("datasets/")])
     task = TASKS["nu_geo"]
     ck = load_checkpoint(args.ckpt)
+    params = ck["ema"].params if args.ema else ck["params"]
 
     for label, path, kw in CONFIGS:
         d = task.load(path, **kw)
@@ -68,7 +72,7 @@ def main():
                 d.R_test = d.R_test[:args.limit]
         best = None
         for om in args.omegas:
-            m = evaluate(task, ck["params"], ck["sched"], d, omega=om)
+            m = evaluate(task, params, ck["sched"], d, omega=om)
             print(json.dumps({"config": label, "omega": om, **m}), flush=True)
             if best is None or m["less_ratio"] > best[1]:
                 best = (om, m["less_ratio"])

@@ -151,6 +151,12 @@ def main():
                          "(up-weight the reference 18 mW cell)")
     ap.add_argument("--budget-repeat", type=int, default=1,
                     help="repeat factor for the --budget-dataset rows")
+    ap.add_argument("--init-from", default=None,
+                    help="warm-start from an existing nu_geo checkpoint "
+                         "(fine-tune cell: low lr, ref-heavy mixture); the "
+                         "arch overrides default to the donor's")
+    ap.add_argument("--warmup-epoch", type=int, default=None,
+                    help="linear-warmup epochs override (0 for fine-tunes)")
     args = ap.parse_args()
 
     import jax
@@ -184,6 +190,16 @@ def main():
 
     cfg_d = {"K": 3, "P_sum": 18.0, "width": w_ref, "height": h_ref,
              "p_ref": p_ref, "w_ref": w_ref, "h_ref": h_ref}
+    init_params = None
+    if args.init_from:
+        from diffsg_tpu.utils import load_checkpoint
+
+        donor = load_checkpoint(args.init_from)
+        init_params = donor["params"]
+        d_cfg = donor.get("metadata", {}).get("dataset_config", {})
+        for k in ("proj_dim", "dims"):
+            if k in d_cfg:
+                cfg_d[k] = tuple(d_cfg[k]) if k == "dims" else d_cfg[k]
     if args.proj_dim is not None:
         cfg_d["proj_dim"] = args.proj_dim
     if args.dims is not None:
@@ -192,13 +208,21 @@ def main():
     overrides = {k: v for k, v in [("epochs", args.epochs), ("lr", args.lr),
                                    ("seed", args.seed),
                                    ("grad_clip", args.grad_clip),
+                                   ("warmup_epoch", args.warmup_epoch),
                                    ("milestones", tuple(args.milestones)
                                     if args.milestones else None)]
                  if v is not None}
     cfg = dataclasses.replace(task.train_config, **overrides)
-    y_shift = Y.mean(axis=0) if args.center else np.zeros(Y.shape[1])
+    if args.init_from and "y_shift" in d_cfg:
+        # fine-tune: keep the donor's output normalization so the warm
+        # weights stay consistent with the target space
+        y_shift = np.asarray(d_cfg["y_shift"])
+        args.y_scale = float(d_cfg.get("y_scale", args.y_scale))
+    else:
+        y_shift = Y.mean(axis=0) if args.center else np.zeros(Y.shape[1])
     params, ema, sched = train_ddpm(model, X, (Y - y_shift) * args.y_scale,
-                                    cfg, log_every=25)
+                                    cfg, init_params=init_params,
+                                    log_every=25)
     dataset_config = dict(cfg_d)
     if args.y_scale != 1.0:
         dataset_config["y_scale"] = args.y_scale
@@ -206,6 +230,7 @@ def main():
         dataset_config["y_shift"] = [float(v) for v in y_shift]
     save_checkpoint(args.out, params, ema=ema, sched=sched, step=cfg.epochs,
                     metadata={"task": "nu_geo",
+                              "init_from": args.init_from,
                               "geo_dataset": args.geo_dataset,
                               "budget_dataset": args.budget_dataset,
                               "with_ref_indist": args.with_ref_indist,
