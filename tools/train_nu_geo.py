@@ -157,6 +157,10 @@ def main():
                          "arch overrides default to the donor's")
     ap.add_argument("--warmup-epoch", type=int, default=None,
                     help="linear-warmup epochs override (0 for fine-tunes)")
+    ap.add_argument("--parameterization", choices=["eps", "x0", "v"],
+                    default="eps",
+                    help="denoiser prediction target (the x0 recipe closed "
+                         "the multi-task NU rows; eps = reference default)")
     args = ap.parse_args()
 
     import jax
@@ -212,6 +216,7 @@ def main():
                                    ("milestones", tuple(args.milestones)
                                     if args.milestones else None)]
                  if v is not None}
+    overrides["parameterization"] = args.parameterization
     cfg = dataclasses.replace(task.train_config, **overrides)
     if args.init_from and "y_shift" in d_cfg:
         # fine-tune: keep the donor's output normalization so the warm
@@ -228,6 +233,8 @@ def main():
         dataset_config["y_scale"] = args.y_scale
     if args.center:
         dataset_config["y_shift"] = [float(v) for v in y_shift]
+    if args.parameterization != "eps":
+        dataset_config["parameterization"] = args.parameterization
     save_checkpoint(args.out, params, ema=ema, sched=sched, step=cfg.epochs,
                     metadata={"task": "nu_geo",
                               "init_from": args.init_from,
