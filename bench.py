@@ -15,7 +15,9 @@ one v5e chip at T=100 (BASELINE.md; the torch reference measures ~230
 solutions/s on CPU at T=20 for this model, i.e. ~46/s at T=100).
 Extra fields: "mfu" (analytic matmul FLOPs/solution over the v5e bf16 peak),
 "per_task" (NU/CO throughput at their reference T=20 protocol when their
-checkpoints are present).
+checkpoints are present), "production" (the serving headline: DDIM-3 +
+nu_direct + refine-0, bf16, batch at the measured knee — pins the ~6M sol/s
+few-step regime against round-over-round regressions).
 
 Flags (driver uses none of them):
   --mesh dp=N[,tp=M]  shard the batch over an N-way dp mesh
@@ -158,6 +160,63 @@ def _per_task_rows(jax, jnp, mesh):
     return rows
 
 
+def _production_row(jax, jnp, mesh, B=524288):
+    """Serving-headline config (docs/RESULTS.md "DDIM respacing"): the NU
+    aug32-centered serving checkpoint (nu_direct protocol, omega 0.125) at
+    DDIM-3, bf16, refine-0, batch at the measured knee (~512k rows).
+    Quality at these exact settings: 0.99943 in-dist / 0.99625 OOD
+    (tools/fewstep.py).  This row pins the ~6M sol/s production regime so
+    round-over-round regressions are caught by the driver, not just by
+    RESULTS.md prose."""
+    import pathlib
+
+    from diffsg_tpu.diffusion import ddim_sample
+    from diffsg_tpu.tasks import TASKS
+    from diffsg_tpu.utils import load_checkpoint
+
+    ckpt = pathlib.Path(__file__).parent / "ckpts" / "ddpm_nu_3u_aug32_s8c"
+    if not ckpt.exists():
+        return None
+    ck = load_checkpoint(str(ckpt))
+    cfg = dict(ck["metadata"].get("dataset_config") or {})
+    task = TASKS["nu_direct"]
+    model = task.build_model(cfg)
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), ck["params"])
+    omega, n_steps = 0.125, 3
+
+    def apply_fn(p, y, t, c, m):
+        return model.apply({"params": p}, y, t, c, m)
+
+    @jax.jit
+    def run(cond, k):
+        y0, _ = ddim_sample(apply_fn, params, ck["sched"], cond, omega,
+                            task.data_dim(cfg), key=k, n_steps=n_steps,
+                            parameterization=cfg.get("parameterization",
+                                                     "eps"))
+        return y0
+
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(rng.uniform(0, 1, (B, task.cond_dim(cfg))),
+                       jnp.bfloat16)
+    if mesh is not None:
+        from diffsg_tpu.parallel import shard_batch
+
+        cond = shard_batch(cond, mesh)
+    run(cond, jax.random.PRNGKey(1)).block_until_ready()  # compile+warmup
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        run(cond, jax.random.PRNGKey(2 + i)).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return {
+        "config": "nu_direct ddim3 bf16 omega0.125 refine0",
+        "ckpt": "ddpm_nu_3u_aug32_s8c",
+        "solutions_per_sec": round(B / float(np.median(times)), 1),
+        "steps": n_steps,
+        "batch_size": B,
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--mesh", default=None,
@@ -173,6 +232,10 @@ def main(argv=None):
     # stay available for regression probes but out of the default run.
     ap.add_argument("--backends", default="xla,xla_bf16")
     ap.add_argument("--no-per-task", action="store_true")
+    ap.add_argument("--no-production", action="store_true")
+    ap.add_argument("--production-batch", type=int, default=524288,
+                    help="batch for the production (DDIM-3 serving) row; "
+                         "default = the measured throughput knee")
     args = ap.parse_args(argv)
 
     import jax
@@ -289,6 +352,14 @@ def main(argv=None):
             out["per_task"] = _per_task_rows(jax, jnp, mesh)
         except Exception as e:  # per-task rows must never break the contract
             print(f"# per-task rows skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    if not args.no_production:
+        try:
+            row = _production_row(jax, jnp, mesh, B=args.production_batch)
+            if row is not None:
+                out["production"] = row
+        except Exception as e:  # same contract guarantee as per_task
+            print(f"# production row skipped: {type(e).__name__}: {e}",
                   file=sys.stderr)
     print(json.dumps(out))
 

@@ -31,7 +31,7 @@ def _run_bench(extra, n_virtual=8):
 
 @pytest.mark.slow
 def test_bench_single_device_contract():
-    out = _run_bench([])
+    out = _run_bench(["--no-production"])
     assert out["unit"] == "solutions/s"
     assert out["value"] > 0
     assert 0 <= out["mfu"] < 1
@@ -39,8 +39,20 @@ def test_bench_single_device_contract():
 
 
 @pytest.mark.slow
+def test_bench_production_field():
+    """The JSON contract carries the production serving row (DDIM-3 +
+    nu_direct + refine-0) so the driver catches few-step-regime regressions
+    round-over-round, not just RESULTS.md prose."""
+    out = _run_bench(["--production-batch", "64"])
+    prod = out["production"]
+    assert prod["steps"] == 3
+    assert prod["solutions_per_sec"] > 0
+    assert prod["ckpt"] == "ddpm_nu_3u_aug32_s8c"
+
+
+@pytest.mark.slow
 def test_bench_mesh_flag_virtual_devices():
-    out = _run_bench(["--mesh", "dp=4,tp=2"])
+    out = _run_bench(["--mesh", "dp=4,tp=2", "--no-production"])
     assert out["mesh"] == "dp=4,tp=2"
     assert out["n_devices"] == 8
     assert out["value"] > 0

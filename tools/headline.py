@@ -53,6 +53,9 @@ line per row.  Expected values (full test splits, TPU or CPU):
               unseen configs: 18mW@400x400 -> 0.9882, 30mW@400x400 ->
               0.9983, 33mW@600x600 -> 0.9861 (geometry-blind model:
               0.9249), 12mW@200x200 -> 1.0007 (above the grid labels)
+  nu geo dense  round-4 densified cells: dense_w4 18mW@400x400 -> 0.99784
+              (30mW 1.00187); dense_w4_fresh (fine-tuned on 4k fresh
+              oracle rows) -> 0.99846 / 1.00042
   nu direct   aug32 + centered + y_scale-8 ckpt, nu_direct decode,
               omega 0.125 single draw -> in-dist 0.9993; OOD 0.9963
               (aug2 s8 ckpt @ omega 1 -> 0.9918 / 0.9883)
@@ -300,6 +303,22 @@ def main():
         row("nu geo universal (200x200 12mW)", "nu_geo", "ckpts/ddpm_nu_geo",
             "datasets/3u_geo200x200_12mW_500samples.csv", omega=0.06,
             load_kw={"width": 200.0, "height": 200.0, "P_sum": 12.0})
+        # round-4 densified cells (RESULTS.md "densifying nu_geo near the
+        # reference geometry"): dense_w4 = proj-64 net with the specialist
+        # 400x400 data folded in (beats the blind specialists on 4/5
+        # configs); dense_w4_fresh = its fine-tune on 4k FRESH 18mW@400x400
+        # oracle rows — the first lever that moved the home-cell residual.
+        # Eval-only rows: training CSVs have multi-minute regens (docs/TODO),
+        # but eval needs only the auto-regenerated reference splits.
+        row("nu geo dense_w4 (unseen 18mW 400x400)", "nu_geo",
+            "ckpts/ddpm_nu_geo_dense_w4",
+            f"{REF}/3u_18mW_10000samples.csv", omega=0.06)
+        row("nu geo dense_w4_fresh (unseen 18mW 400x400)", "nu_geo",
+            "ckpts/ddpm_nu_geo_dense_w4_fresh",
+            f"{REF}/3u_18mW_10000samples.csv", omega=0.06)
+        row("nu geo dense_w4_fresh (unseen 30mW 400x400)", "nu_geo",
+            "ckpts/ddpm_nu_geo_dense_w4_fresh",
+            f"{REF}/3u_30mW_1000samples_ood.csv", omega=0.06)
     if "multi" in args.tasks:
         # ONE net for all three problems (tools/train_multi.py, x0
         # parameterization — the recipe that closed the shared-capacity CO

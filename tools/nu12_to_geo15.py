@@ -32,6 +32,17 @@ def main():
 
     raw = np.array(pd.read_csv(args.inp, header=None))
     assert raw.shape[1] == 12, f"expected 12 cols, got {raw.shape[1]}"
+    # The claimed config must match the CSV's generating config — a wrong
+    # --power/--width/--height silently mislabels every row's conditioning
+    # AND its per-row normalization downstream in normalize_rows_geo.
+    x_max, y_max = raw[:, 0:6:2].max(), raw[:, 1:6:2].max()
+    p_max = raw[:, 8:11].sum(axis=1).max()
+    assert x_max <= args.width * 1.001, \
+        f"user x-coords reach {x_max:.1f} > claimed width {args.width}"
+    assert y_max <= args.height * 1.001, \
+        f"user y-coords reach {y_max:.1f} > claimed height {args.height}"
+    assert p_max <= args.power * 1.001, \
+        f"row power sums reach {p_max:.3f} > claimed budget {args.power}"
     tail = np.tile([args.power, args.width, args.height], (raw.shape[0], 1))
     out = np.concatenate([raw, tail], axis=1)
     pd.DataFrame(out).to_csv(args.out, header=False, index=False)

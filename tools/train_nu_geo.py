@@ -158,9 +158,13 @@ def main():
     ap.add_argument("--warmup-epoch", type=int, default=None,
                     help="linear-warmup epochs override (0 for fine-tunes)")
     ap.add_argument("--parameterization", choices=["eps", "x0", "v"],
-                    default="eps",
+                    default=None,
                     help="denoiser prediction target (the x0 recipe closed "
-                         "the multi-task NU rows; eps = reference default)")
+                         "the multi-task NU rows; eps = reference default). "
+                         "With --init-from the donor's parameterization is "
+                         "inherited unless this flag is given explicitly — "
+                         "fine-tuning an x0 donor under an eps loss would "
+                         "silently fight the pretrained weights.")
     args = ap.parse_args()
 
     import jax
@@ -204,6 +208,14 @@ def main():
         for k in ("proj_dim", "dims"):
             if k in d_cfg:
                 cfg_d[k] = tuple(d_cfg[k]) if k == "dims" else d_cfg[k]
+        donor_param = d_cfg.get("parameterization", "eps")
+        if args.parameterization is None:
+            args.parameterization = donor_param
+        elif args.parameterization != donor_param:
+            print(f"WARNING: fine-tuning a {donor_param!r} donor under a "
+                  f"{args.parameterization!r} loss (explicit override)")
+    if args.parameterization is None:
+        args.parameterization = "eps"
     if args.proj_dim is not None:
         cfg_d["proj_dim"] = args.proj_dim
     if args.dims is not None:
