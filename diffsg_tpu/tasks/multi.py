@@ -42,7 +42,7 @@ import numpy as np
 from ..models.unet1d import UNet1D
 from .co import CO_RANKED
 from .msr import MSR_WF
-from .nu import NU_BUDGET
+from .nu import NU_BUDGET, NU_GEO
 
 #: shared solution canvas = max task dim (NU's 2+K=5; MSR-3c and CO pad up)
 D_UNI = 5
@@ -102,8 +102,12 @@ class _CondAdapter:
         return self.inner.apply(variables, y, t, self._pad_cond(cond), mask)
 
 
-def _wrap(sub, slot: str):
-    """Build the multi-task wrapper around a specialist task plugin."""
+def _wrap(sub, slot: str, name: Optional[str] = None):
+    """Build the multi-task wrapper around a specialist task plugin.
+
+    ``slot`` picks the one-hot class; ``name`` overrides the registry key
+    when one slot has several condition flavors (e.g. the NU slot's budget
+    vs geometry payloads — same one-hot, different payload width)."""
     slot_idx = SLOTS.index(slot)
 
     def build_model(cfg: Dict):
@@ -111,17 +115,22 @@ def _wrap(sub, slot: str):
                            tuple(cfg.get("dims", (64, 32, 16, 8))))
         return _CondAdapter(inner, slot_idx, sub.cond_dim(cfg))
 
+    # valid_mask is forwarded only when set, so strictly per-row specialist
+    # decoders without the kwarg (e.g. nu_geo) still work bucket-less —
+    # same convention as serve.Solver._decode.
     def decode(Y_raw, cfg, valid_mask=None):
-        return sub.decode(Y_raw[:, : sub.data_dim(cfg)], cfg, valid_mask)
+        kw = {} if valid_mask is None else {"valid_mask": valid_mask}
+        return sub.decode(Y_raw[:, : sub.data_dim(cfg)], cfg, **kw)
 
     decode_with_x = None
     if sub.decode_with_x is not None:
         def decode_with_x(Y_raw, X_unnorm, cfg, valid_mask=None):
+            kw = {} if valid_mask is None else {"valid_mask": valid_mask}
             return sub.decode_with_x(Y_raw[:, : sub.data_dim(cfg)], X_unnorm,
-                                     cfg, valid_mask)
+                                     cfg, **kw)
 
     return dataclasses.replace(
-        sub, name=f"multi_{slot}", build_model=build_model,
+        sub, name=name or f"multi_{slot}", build_model=build_model,
         data_dim=lambda cfg: D_UNI, decode=decode,
         decode_with_x=decode_with_x)
 
@@ -134,9 +143,17 @@ def _wrap(sub, slot: str):
 MULTI_MSR = _wrap(MSR_WF, "msr")
 MULTI_CO = _wrap(CO_RANKED, "co")
 MULTI_NU = _wrap(NU_BUDGET, "nu")
+#: NU face with the FULL nu_geo condition ``[coords (2K) | P/p_ref |
+#: W/w_ref | H/h_ref]`` — the 9-dim payload fills the shared condition
+#: exactly, so ONE multi checkpoint serves any task x budget x rectangle.
+#: Same one-hot slot as multi_nu but a different payload layout: a
+#: checkpoint is trained for one NU flavor or the other
+#: (``tools/train_multi.py --nu-mode geo`` stores the subtask config under
+#: ``"nu_geo"``; the budget-mode ckpts store ``"nu"``).
+MULTI_NU_GEO = _wrap(NU_GEO, "nu", name="multi_nu_geo")
 
 MULTI_TASKS = {"multi_msr": MULTI_MSR, "multi_co": MULTI_CO,
-               "multi_nu": MULTI_NU}
+               "multi_nu": MULTI_NU, "multi_nu_geo": MULTI_NU_GEO}
 
 #: per-subtask config keys owned by the multi checkpoint (label transforms
 #: + the shared architecture) — see merge_multi_config.

@@ -83,6 +83,41 @@ def test_wrapper_decode_crops_canvas():
     np.testing.assert_allclose(np.asarray(c), np.asarray(d), atol=0)
 
 
+def test_multi_nu_geo_wrapper():
+    """The geometry-conditioned NU face (multi_nu_geo): its 9-dim payload
+    fills the shared condition exactly (zero pad width 0), the adapter
+    matches manual padding, and decode_with_x equals the specialist
+    nu_geo decode (canvas dim == NU dim, crop is identity)."""
+    rng = np.random.default_rng(1)
+    cfg = {"K": 3, "P_sum": 18.0, "width": 400.0, "height": 400.0,
+           "p_ref": 18.0, "w_ref": 400.0, "h_ref": 400.0,
+           "y_scale": 8.0, "y_shift": [0.45, 0.45, 0.33, 0.33, 0.33]}
+    task = TASKS["multi_nu_geo"]
+    assert task.cond_dim(cfg) == PAYLOAD
+
+    Y5 = jnp.asarray(rng.normal(size=(8, D_UNI)).astype(np.float32))
+    X_un = np.concatenate([
+        rng.uniform(0, 400, (8, 6)),
+        np.tile([18.0, 400.0, 400.0], (8, 1))], axis=1).astype(np.float32)
+    a = task.decode_with_x(Y5, jnp.asarray(X_un), cfg)
+    b = TASKS["nu_geo"].decode_with_x(Y5, jnp.asarray(X_un), cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    model = task.build_model({**cfg, "proj_dim": 8, "dims": (8, 4)})
+    key = jax.random.PRNGKey(0)
+    y = jnp.ones((4, D_UNI))
+    t = jnp.zeros((4,))
+    cond = jnp.asarray(rng.uniform(0, 1, (4, PAYLOAD)).astype(np.float32))
+    mask = jnp.ones((4, 1))
+    variables = model.init(key, y, t, cond, mask)
+    out = model.apply(variables, y, t, cond, mask)
+    inner = unet_multi(8, (8, 4))
+    cond_pad = jnp.concatenate(
+        [jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (4, 1)), cond], axis=1)
+    ref = inner.apply(variables, y, t, cond_pad, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
+
+
 @pytest.fixture(scope="module")
 def tiny_multi():
     """One tiny shared net trained a few epochs on 64 rows per task.

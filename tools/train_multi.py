@@ -15,6 +15,12 @@ each subtask keeps its headline label recipe —
   any budget (the conditioning that closed the specialist's 30 mW OOD
   gap), served through the nu_budget per-row feasibility decode.
 
+``--nu-mode geo`` swaps the NU slot to the FULL nu_geo condition
+``[coords | P/p_ref | W/w_ref | H/h_ref]`` (9-dim payload — fills the
+shared condition exactly) trained on the dense_w4 mixed-geometry mixture,
+so the one checkpoint serves any task x budget x rectangle; served as
+``multi_nu_geo``.
+
 Subtask rows are repeated/augmented to roughly equal thirds so the one-hot
 classes stay balanced.  The per-subtask label transforms are stored in the
 checkpoint metadata under ``subtask_configs`` and merged back at eval with
@@ -43,6 +49,26 @@ def main():
                     default="datasets/3u_budget9-36_10000samples.csv",
                     help="13-col multi-budget oracle CSV "
                          "(tools/make_datasets.py nu-budget)")
+    ap.add_argument("--nu-mode", choices=["budget", "geo"], default="budget",
+                    help="NU condition flavor: 'budget' = coords + P/p_ref "
+                         "(7-dim payload, served as multi_nu); 'geo' = the "
+                         "full nu_geo condition [coords | P/p_ref | W/w_ref "
+                         "| H/h_ref] (9-dim payload — fills the shared "
+                         "condition exactly, served as multi_nu_geo: one "
+                         "ckpt for any task x budget x rectangle)")
+    ap.add_argument("--nu-geo-datasets", nargs="+",
+                    default=["datasets/3u_geo200-600_10000samples.csv",
+                             "datasets/3u_geo_focus320-480_15000samples.csv",
+                             "datasets/3u_18mW400_fresh4000_geo.csv"],
+                    help="15-col mixed-geometry CSVs for --nu-mode geo "
+                         "(the dense_w4 mixture + the fresh 18mW@400x400 "
+                         "oracle rows)")
+    ap.add_argument("--nu-ref-repeat", type=int, default=4,
+                    help="geo mode: repeat factor for the reference 18 mW "
+                         "train rows (the dense_w4 home-cell upweighting)")
+    ap.add_argument("--nu-budget-repeat", type=int, default=3,
+                    help="geo mode: repeat factor for the 400x400 "
+                         "multi-budget rows")
     ap.add_argument("--msr-repeat", type=int, default=14,
                     help="repeat the 7k MSR train rows to balance classes")
     ap.add_argument("--co-repeat", type=int, default=3,
@@ -110,29 +136,60 @@ def main():
     subtask_configs["co"] = dict(co.config)
     print(f"co rows: {len(Xc)} (x{args.co_repeat})")
 
-    # --- NU: the nu_budget recipe (budget-conditioned, aug + centered) -----
+    # --- NU: budget- or geometry-conditioned -------------------------------
     from diffsg_tpu.data.loaders import NU_P_REF, TRAIN_RATIO
-    from tools.train_nu_budget import load_budget_rows, normalize_rows
 
-    nu = load_nu(args.nu_dataset)
-    w, h, p_ref = nu.config["width"], nu.config["height"], NU_P_REF
-    raw_b = load_budget_rows(args.nu_budget_dataset, w, h)
-    raw_i = np.array(pd.read_csv(args.nu_dataset, header=None))
-    raw_i = raw_i[: int(raw_i.shape[0] * TRAIN_RATIO)]  # train split only
-    raw_i = np.concatenate(
-        [raw_i, np.full((raw_i.shape[0], 1), nu.config["P_sum"])], axis=1)
-    base = np.concatenate([raw_b, raw_i])
-    ext = nu_dataset_extension(base, times=args.nu_times, seed=args.seed)
-    rows = np.concatenate([base, ext])
-    Xn, Yn = normalize_rows(rows, w, h, p_ref)
-    nu_shift = Yn.mean(axis=0)
-    nu_scale = 8.0
-    parts_X.append(embed_cond_np(Xn.astype(np.float32), "nu"))
-    parts_Y.append(embed_y_np(((Yn - nu_shift) * nu_scale).astype(np.float32)))
-    subtask_configs["nu"] = {**nu.config, "p_ref": p_ref, "y_scale": nu_scale,
-                             "y_shift": [float(v) for v in nu_shift]}
-    print(f"nu rows: {len(Xn)} ({len(base)} base x{args.nu_times + 1}, "
-          f"budget-conditioned)")
+    if args.nu_mode == "geo":
+        # The full nu_geo (dense_w4) recipe: mixed-geometry oracle rows +
+        # the 400x400 multi-budget CSV + the reference 18 mW train split,
+        # per-(W,H)-group rigid-motion augmented, per-row normalized
+        # (tools/train_nu_geo.py helpers — same folding, unit-tested).
+        from tools.train_nu_geo import (assemble_training_rows, augment_geo,
+                                        normalize_rows_geo)
+
+        base = assemble_training_rows(
+            args.nu_geo_datasets, budget_path=args.nu_budget_dataset,
+            indist_path=args.nu_dataset, train_ratio=TRAIN_RATIO,
+            budget_repeat=args.nu_budget_repeat,
+            ref_repeat=args.nu_ref_repeat)
+        ext = augment_geo(base, times=args.nu_times, seed=args.seed)
+        rows = np.concatenate([base, ext])
+        Xn, Yn = normalize_rows_geo(rows)
+        nu_shift = Yn.mean(axis=0)
+        nu_scale = 8.0
+        parts_X.append(embed_cond_np(Xn.astype(np.float32), "nu"))
+        parts_Y.append(
+            embed_y_np(((Yn - nu_shift) * nu_scale).astype(np.float32)))
+        subtask_configs["nu_geo"] = {
+            "K": 3, "P_sum": 18.0, "width": 400.0, "height": 400.0,
+            "p_ref": NU_P_REF, "w_ref": 400.0, "h_ref": 400.0,
+            "y_scale": nu_scale, "y_shift": [float(v) for v in nu_shift]}
+        print(f"nu rows: {len(Xn)} ({len(base)} base x{args.nu_times + 1}, "
+              f"geometry+budget-conditioned)")
+    else:
+        from tools.train_nu_budget import load_budget_rows, normalize_rows
+
+        nu = load_nu(args.nu_dataset)
+        w, h, p_ref = nu.config["width"], nu.config["height"], NU_P_REF
+        raw_b = load_budget_rows(args.nu_budget_dataset, w, h)
+        raw_i = np.array(pd.read_csv(args.nu_dataset, header=None))
+        raw_i = raw_i[: int(raw_i.shape[0] * TRAIN_RATIO)]  # train split only
+        raw_i = np.concatenate(
+            [raw_i, np.full((raw_i.shape[0], 1), nu.config["P_sum"])], axis=1)
+        base = np.concatenate([raw_b, raw_i])
+        ext = nu_dataset_extension(base, times=args.nu_times, seed=args.seed)
+        rows = np.concatenate([base, ext])
+        Xn, Yn = normalize_rows(rows, w, h, p_ref)
+        nu_shift = Yn.mean(axis=0)
+        nu_scale = 8.0
+        parts_X.append(embed_cond_np(Xn.astype(np.float32), "nu"))
+        parts_Y.append(
+            embed_y_np(((Yn - nu_shift) * nu_scale).astype(np.float32)))
+        subtask_configs["nu"] = {**nu.config, "p_ref": p_ref,
+                                 "y_scale": nu_scale,
+                                 "y_shift": [float(v) for v in nu_shift]}
+        print(f"nu rows: {len(Xn)} ({len(base)} base x{args.nu_times + 1}, "
+              f"budget-conditioned)")
 
     X = np.concatenate(parts_X)
     Y = np.concatenate(parts_Y)
@@ -158,10 +215,13 @@ def main():
             "middle_attn": False}
     save_checkpoint(args.out, params, ema=ema, sched=sched, step=cfg.epochs,
                     metadata={"task": "multi",
+                              "nu_mode": args.nu_mode,
                               "datasets": {"msr": args.msr_dataset,
                                            "co": args.co_dataset,
                                            "nu": args.nu_dataset,
-                                           "nu_budget": args.nu_budget_dataset},
+                                           "nu_budget": args.nu_budget_dataset,
+                                           **({"nu_geo": args.nu_geo_datasets}
+                                             if args.nu_mode == "geo" else {})},
                               "msr_repeat": args.msr_repeat,
                               "co_repeat": args.co_repeat,
                               "nu_times": args.nu_times,
@@ -189,10 +249,32 @@ def main():
         ("multi_co", "co", args.co_dataset, {}, om_co),
         ("multi_co", "co",
          "/root/reference/datasets/3nodes_2000samples_ood.csv", {}, om_co),
-        ("multi_nu", "nu", args.nu_dataset, {}, om_nu),
-        ("multi_nu", "nu",
-         "/root/reference/datasets/3u_30mW_1000samples_ood.csv", {}, om_nu),
     ]
+    if args.nu_mode == "geo":
+        # the five nu_geo eval configs — every one an unseen
+        # (budget, W, H) combination for this checkpoint
+        evals += [
+            ("multi_nu_geo", "nu_geo", args.nu_dataset, {}, om_nu),
+            ("multi_nu_geo", "nu_geo",
+             "/root/reference/datasets/3u_30mW_1000samples_ood.csv", {},
+             om_nu),
+            ("multi_nu_geo", "nu_geo",
+             "datasets/3u_geo480x360_21mW_1000samples.csv",
+             {"width": 480.0, "height": 360.0, "P_sum": 21.0}, om_nu),
+            ("multi_nu_geo", "nu_geo",
+             "datasets/3u_geo600x600_33mW_500samples.csv",
+             {"width": 600.0, "height": 600.0, "P_sum": 33.0}, om_nu),
+            ("multi_nu_geo", "nu_geo",
+             "datasets/3u_geo200x200_12mW_500samples.csv",
+             {"width": 200.0, "height": 200.0, "P_sum": 12.0}, om_nu),
+        ]
+    else:
+        evals += [
+            ("multi_nu", "nu", args.nu_dataset, {}, om_nu),
+            ("multi_nu", "nu",
+             "/root/reference/datasets/3u_30mW_1000samples_ood.csv", {},
+             om_nu),
+        ]
     for task_key, slot, path, load_kw, omegas in evals:
         task = TASKS[task_key]
         d = task.load(path, **load_kw)
