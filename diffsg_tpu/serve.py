@@ -156,9 +156,10 @@ class Solver:
             return _decode(y0, cond_unnorm, valid)
 
         def _single_ddim(cond, cond_unnorm, key, omega, n_steps, valid,
-                         skip=False):
+                         skip=False, eta=0.0, renorm_steps=None):
             y0, _ = ddim_sample(apply_fn, self.params, self.sched, cond,
                                 omega, self._D, key=key, n_steps=n_steps,
+                                eta=eta, renorm_steps=renorm_steps,
                                 valid_mask=valid, parameterization=param,
                                 skip_uncond=skip)
             return _decode(y0, cond_unnorm, valid)
@@ -180,20 +181,23 @@ class Solver:
             return _pick(cond, cond_unnorm, key, omegas, valid, draw)
 
         def _best_of_ddim(cond, cond_unnorm, key, omegas, n_steps, valid,
-                          skip=False):
+                          skip=False, eta=0.0, renorm_steps=None):
             # DDIM is deterministic per init noise; candidate diversity comes
             # from per-candidate init noise (keys) and the omega mixture.
             def draw(c, cu, k, w, v):
-                return _single_ddim(c, cu, k, w, n_steps, v, skip)
+                return _single_ddim(c, cu, k, w, n_steps, v, skip, eta,
+                                    renorm_steps)
 
             return _pick(cond, cond_unnorm, key, omegas, valid, draw)
 
         self._single = jax.jit(_single, static_argnames=("skip",))
-        self._single_ddim = jax.jit(_single_ddim,
-                                    static_argnames=("n_steps", "skip"))
+        self._single_ddim = jax.jit(
+            _single_ddim,
+            static_argnames=("n_steps", "skip", "eta", "renorm_steps"))
         self._best_of = jax.jit(_best_of, static_argnames=("skip",))
-        self._best_of_ddim = jax.jit(_best_of_ddim,
-                                     static_argnames=("n_steps", "skip"))
+        self._best_of_ddim = jax.jit(
+            _best_of_ddim,
+            static_argnames=("n_steps", "skip", "eta", "renorm_steps"))
 
     @classmethod
     def from_checkpoint(cls, ckpt_dir: str, task: str,
@@ -264,12 +268,16 @@ class Solver:
     def solve(self, X: np.ndarray, omega=None,
               best_of: int = 1, seed: int = 0,
               sampler: str = "ddpm", n_steps: Optional[int] = None,
+              eta: float = 0.0, renorm_steps: Optional[int] = None,
               _block: bool = True) -> np.ndarray:
         """Conditions (B, C), loader-normalized -> decoded solutions (B, D).
 
         omega: scalar or (for best_of > 1) a per-candidate guidance mixture.
         sampler: "ddpm" (reference ancestral sampler) or "ddim"
           (deterministic, supports step respacing via ``n_steps``).
+        eta / renorm_steps: DDIM-only knobs (stochasticity on the respaced
+          sub-sequence; early-step re-standardization count — defaults to
+          the adaptive clamp(n/5, 1, 4)).  Static per-value compile variants.
         """
         omega = self.task.default_omega if omega is None else omega
         n = X.shape[0]
@@ -315,7 +323,7 @@ class Solver:
                     if self.matmul_precision else contextlib.nullcontext())
         with prec_ctx:
             out = self._dispatch(cond, cu, key, omega, best_of, sampler,
-                                 n_steps, valid)
+                                 n_steps, valid, eta, renorm_steps)
         return np.asarray(out)[:n] if _block else out[:n]
 
     def solve_chunked(self, X: np.ndarray, chunk_size: int = 512,
@@ -338,7 +346,7 @@ class Solver:
         return np.concatenate([np.asarray(p) for p in pending])
 
     def _dispatch(self, cond, cu, key, omega, best_of, sampler, n_steps,
-                  valid):
+                  valid, eta=0.0, renorm_steps=None):
         single = best_of <= 1 and np.isscalar(omega)
         # omega is still a Python scalar/list here: choose the static omega==0
         # fast-path variant (skip the uncond half of the CFG fold) before
@@ -354,10 +362,12 @@ class Solver:
             steps = n_steps or self.sched.T
             if single:
                 out = self._single_ddim(cond, cu, key, jnp.float32(omega),
-                                        steps, valid, skip=skip)
+                                        steps, valid, skip=skip, eta=eta,
+                                        renorm_steps=renorm_steps)
             else:
                 out = self._best_of_ddim(cond, cu, key, omegas, steps, valid,
-                                         skip=skip)
+                                         skip=skip, eta=eta,
+                                         renorm_steps=renorm_steps)
         elif single:
             out = self._single(cond, cu, key, jnp.float32(omega), valid,
                                skip=skip)

@@ -110,6 +110,29 @@ def test_solve_ddim_and_mixture(solver, reference_path):
     assert ym.shape == (32, 5)
 
 
+def test_solve_ddim_eta_and_renorm_knobs(solver, reference_path):
+    """The few-step tuning knobs (eta stochasticity, renorm-step override)
+    flow through the production solve path: distinct compile variants,
+    feasible outputs, eta=0 stays deterministic per seed."""
+    td = load_nu(str(reference_path / "datasets" / "3u_18mW_10000samples.csv"))
+    X = td.X_test[:32]
+    base = solver.solve(X, omega=500, sampler="ddim", n_steps=5, seed=3)
+    y_r0 = solver.solve(X, omega=500, sampler="ddim", n_steps=5, seed=3,
+                        renorm_steps=0)
+    y_eta = solver.solve(X, omega=500, sampler="ddim", n_steps=5, seed=3,
+                         eta=1.0)
+    for y in (y_r0, y_eta):
+        assert y.shape == (32, 5)
+        np.testing.assert_allclose(y[:, 2:].sum(1), 18.0, rtol=1e-4)
+    # the knobs actually change the trajectory
+    assert np.abs(y_r0 - base).max() > 0
+    assert np.abs(y_eta - base).max() > 0
+    # eta=0 variants stay deterministic per seed
+    np.testing.assert_array_equal(
+        y_r0, solver.solve(X, omega=500, sampler="ddim", n_steps=5, seed=3,
+                           renorm_steps=0))
+
+
 def test_mesh_sharded_solver_matches_single_device(reference_path):
     """Solver(mesh=...) dp-shards each solve; batch-global reductions become
     cross-chip collectives and results match the unsharded solver."""

@@ -32,6 +32,12 @@ def main():
     ap.add_argument("--omega", type=float, default=None)
     ap.add_argument("--steps", type=int, nargs="+", default=[3, 5, 10, 20])
     ap.add_argument("--best-of", type=int, default=1)
+    ap.add_argument("--eta", type=float, default=0.0,
+                    help="DDIM stochasticity on the respaced sub-sequence "
+                         "(0 = deterministic, 1 = DDPM-like)")
+    ap.add_argument("--renorm-steps", type=int, default=None,
+                    help="early-step re-standardization count override "
+                         "(default: adaptive clamp(n/5, 1, 4))")
     ap.add_argument("--batch", type=int, default=512,
                     help="eval batch (reference protocol: 512)")
     ap.add_argument("--limit", type=int, default=None,
@@ -60,8 +66,12 @@ def main():
         t0 = time.time()
         for i, lo in enumerate(range(0, data.X_test.shape[0], args.batch)):
             X = np.asarray(data.X_test[lo:lo + args.batch])
+            kw = {}
+            if sampler == "ddim":
+                kw = {"eta": args.eta, "renorm_steps": args.renorm_steps}
             outs.append(solver.solve(X, omega=omega, best_of=args.best_of,
-                                     seed=i, sampler=sampler, n_steps=n_steps))
+                                     seed=i, sampler=sampler, n_steps=n_steps,
+                                     **kw))
         return np.concatenate(outs), time.time() - t0
 
     for ds in args.datasets:
@@ -95,10 +105,14 @@ def main():
                     jnp.asarray(Yt, jnp.float32), jnp.asarray(Xu, jnp.float32),
                     data.config))
                 m.update(task.extra_metrics(Y, Yt, pred, true, data.config))
+            extra = {}
+            if sampler == "ddim" and (args.eta or
+                                      args.renorm_steps is not None):
+                extra = {"eta": args.eta, "renorm_steps": args.renorm_steps}
             print(json.dumps({
                 "task": args.task, "dataset": ds, "sampler": sampler,
                 "steps": n_steps or int(solver.sched.T),
-                "omega": omega, "best_of": args.best_of,
+                "omega": omega, "best_of": args.best_of, **extra,
                 "elapsed_s": round(secs, 2), **m}, ), flush=True)
 
 
