@@ -280,11 +280,14 @@ def main(argv=None):
         params = shard_params(params, mesh)
 
     def measure(backend, B, block_rows=1024):
-        if backend == "xla_bf16":
+        if backend in ("xla_bf16", "xla_pair_bf16"):
             # quality-verified fast path: params + activations bf16, CFG
             # combine and posterior math f32 (T100 ckpt: less ratio 0.9957
-            # bf16 vs 0.9960 f32 on the full MSR-3c test split)
-            apply_fn = unet_apply_fn(model, backend="xla")
+            # bf16 vs 0.9960 f32 on the full MSR-3c test split).
+            # xla_pair = shared-prefix CFG-pair forward (VERDICT r4 item 6).
+            apply_fn = unet_apply_fn(
+                model,
+                backend="xla" if backend == "xla_bf16" else "xla_pair")
             p_run = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
             dtype = jnp.bfloat16
         else:
