@@ -41,58 +41,71 @@ import numpy as np
 
 from ..models.unet1d import UNet1D
 from .co import CO_RANKED
-from .msr import MSR_WF
+from .msr import MSR_BUDGET, MSR_WF
 from .nu import NU_BUDGET, NU_GEO
 
-#: shared solution canvas = max task dim (NU's 2+K=5; MSR-3c and CO pad up)
+#: shared solution canvas = max task dim (NU's 2+K=5; MSR-3c and CO pad up).
+#: Checkpoint-overridable via the ``canvas_dim`` config key — the multi-80
+#: family widens the canvas to 80 so the MSR-80c zoo rides the one net.
 D_UNI = 5
-#: condition payload width = max specialist cond dim (CO's 3N=9)
+#: condition payload width = max specialist cond dim (CO's 3N=9);
+#: checkpoint-overridable via ``payload_dim`` (multi-80: 81 = gains + W).
 PAYLOAD = 9
-#: one-hot slot order (first 3 condition columns)
+#: default one-hot slot order (first condition columns); checkpoint-
+#: overridable via ``slots`` (multi-80 appends "msr80").
 SLOTS = ("msr", "co", "nu")
 COND_UNI = len(SLOTS) + PAYLOAD
 
 
-def unet_multi(proj_dim: int = 128, dims=(64, 32, 16, 8)) -> UNet1D:
+def unet_multi(proj_dim: int = 128, dims=(64, 32, 16, 8),
+               canvas_dim: int = D_UNI, payload_dim: int = PAYLOAD,
+               n_slots: int = len(SLOTS)) -> UNet1D:
     """The shared denoiser: the MSR-class architecture (the largest of the
-    reference zoo) over the 5-dim canvas and 12-dim condition."""
-    return UNet1D(input_dim=D_UNI, proj_dim=proj_dim, cond_dim=COND_UNI,
+    reference zoo) over the shared canvas and [one-hot | payload] condition."""
+    return UNet1D(input_dim=canvas_dim, proj_dim=proj_dim,
+                  cond_dim=n_slots + payload_dim,
                   dims=tuple(dims), is_attn=(False,) * len(dims),
                   middle_attn=False, n_blocks=2)
 
 
-def embed_cond_np(X: np.ndarray, slot: str) -> np.ndarray:
+def embed_cond_np(X: np.ndarray, slot: str, slots=SLOTS,
+                  payload_dim: int = PAYLOAD) -> np.ndarray:
     """Host-side condition embedding for training: [one-hot | payload | 0s]."""
-    i = SLOTS.index(slot)
+    i = tuple(slots).index(slot)
     n, c = X.shape
-    assert c <= PAYLOAD, f"payload {c} exceeds {PAYLOAD}"
-    one = np.zeros((n, len(SLOTS)), X.dtype)
+    assert c <= payload_dim, f"payload {c} exceeds {payload_dim}"
+    one = np.zeros((n, len(slots)), X.dtype)
     one[:, i] = 1.0
     return np.concatenate(
-        [one, X, np.zeros((n, PAYLOAD - c), X.dtype)], axis=1)
+        [one, X, np.zeros((n, payload_dim - c), X.dtype)], axis=1)
 
 
-def embed_y_np(Y: np.ndarray, slot_unused: str = "") -> np.ndarray:
+def embed_y_np(Y: np.ndarray, canvas_dim: int = D_UNI) -> np.ndarray:
     """Host-side label embedding: zero-pad to the shared canvas."""
     n, d = Y.shape
-    assert d <= D_UNI, f"solution dim {d} exceeds {D_UNI}"
-    return np.concatenate([Y, np.zeros((n, D_UNI - d), Y.dtype)], axis=1)
+    assert d <= canvas_dim, f"solution dim {d} exceeds {canvas_dim}"
+    return np.concatenate([Y, np.zeros((n, canvas_dim - d), Y.dtype)], axis=1)
 
 
 class _CondAdapter:
     """Duck-typed flax-module stand-in: pads the specialist condition into
-    the shared layout, leaves the 5-dim solution canvas untouched.  The
+    the shared layout, leaves the solution canvas untouched.  The
     sample/serve paths only call ``apply``; ``init`` mirrors it."""
 
-    def __init__(self, inner: UNet1D, slot_idx: int, payload_dim: int):
+    def __init__(self, inner: UNet1D, slot_idx: int, payload_dim: int,
+                 n_slots: int = len(SLOTS), payload_total: int = PAYLOAD):
         self.inner = inner
         self.slot_idx = slot_idx
         self.payload_dim = payload_dim
+        self.n_slots = n_slots
+        self.payload_total = payload_total
 
     def _pad_cond(self, cond):
         n = cond.shape[0]
-        one = jnp.zeros((n, len(SLOTS)), cond.dtype).at[:, self.slot_idx].set(1.0)
-        pad = jnp.zeros((n, PAYLOAD - self.payload_dim), cond.dtype)
+        one = jnp.zeros((n, self.n_slots),
+                        cond.dtype).at[:, self.slot_idx].set(1.0)
+        pad = jnp.zeros((n, self.payload_total - self.payload_dim),
+                        cond.dtype)
         return jnp.concatenate([one, cond, pad], axis=1)
 
     def init(self, key, y, t, cond, mask):
@@ -107,13 +120,20 @@ def _wrap(sub, slot: str, name: Optional[str] = None):
 
     ``slot`` picks the one-hot class; ``name`` overrides the registry key
     when one slot has several condition flavors (e.g. the NU slot's budget
-    vs geometry payloads — same one-hot, different payload width)."""
-    slot_idx = SLOTS.index(slot)
+    vs geometry payloads — same one-hot, different payload width).  Canvas
+    width, payload width, and the slot list are checkpoint-owned config
+    (``canvas_dim`` / ``payload_dim`` / ``slots``) resolved at build time,
+    defaulting to the round-4 5-dim layout."""
 
     def build_model(cfg: Dict):
+        slots = tuple(cfg.get("slots", SLOTS))
+        payload = int(cfg.get("payload_dim", PAYLOAD))
         inner = unet_multi(cfg.get("proj_dim", 128),
-                           tuple(cfg.get("dims", (64, 32, 16, 8))))
-        return _CondAdapter(inner, slot_idx, sub.cond_dim(cfg))
+                           tuple(cfg.get("dims", (64, 32, 16, 8))),
+                           canvas_dim=int(cfg.get("canvas_dim", D_UNI)),
+                           payload_dim=payload, n_slots=len(slots))
+        return _CondAdapter(inner, slots.index(slot), sub.cond_dim(cfg),
+                            n_slots=len(slots), payload_total=payload)
 
     # valid_mask is forwarded only when set, so strictly per-row specialist
     # decoders without the kwarg (e.g. nu_geo) still work bucket-less —
@@ -131,8 +151,8 @@ def _wrap(sub, slot: str, name: Optional[str] = None):
 
     return dataclasses.replace(
         sub, name=name or f"multi_{slot}", build_model=build_model,
-        data_dim=lambda cfg: D_UNI, decode=decode,
-        decode_with_x=decode_with_x)
+        data_dim=lambda cfg: int(cfg.get("canvas_dim", D_UNI)),
+        decode=decode, decode_with_x=decode_with_x)
 
 
 #: The three faces of the one multi-task checkpoint.  Decode flavors are the
@@ -151,13 +171,19 @@ MULTI_NU = _wrap(NU_BUDGET, "nu")
 #: (``tools/train_multi.py --nu-mode geo`` stores the subtask config under
 #: ``"nu_geo"``; the budget-mode ckpts store ``"nu"``).
 MULTI_NU_GEO = _wrap(NU_GEO, "nu", name="multi_nu_geo")
+#: MSR-80c face for the widened (multi-80) canvas: W-conditioned payload
+#: ``[gains (M) | W/w_ref]`` (the ddpm_msr_80c_budget recipe).  Requires a
+#: checkpoint whose ``slots`` config includes "msr80" (train_multi.py
+#: --canvas-dim 80 --with-msr80).
+MULTI_MSR80 = _wrap(MSR_BUDGET, "msr80")
 
 MULTI_TASKS = {"multi_msr": MULTI_MSR, "multi_co": MULTI_CO,
-               "multi_nu": MULTI_NU, "multi_nu_geo": MULTI_NU_GEO}
+               "multi_nu": MULTI_NU, "multi_nu_geo": MULTI_NU_GEO,
+               "multi_msr80": MULTI_MSR80}
 
 #: per-subtask config keys owned by the multi checkpoint (label transforms
 #: + the shared architecture) — see merge_multi_config.
-_ARCH_KEYS = ("proj_dim", "dims")
+_ARCH_KEYS = ("proj_dim", "dims", "canvas_dim", "payload_dim", "slots")
 _LABEL_KEYS = ("y_scale", "y_shift", "parameterization")
 
 

@@ -219,3 +219,49 @@ def test_multi_solver_from_one_checkpoint(tiny_multi, tmp_path):
         out = solver.solve(X, omega=1.0)
         assert out.shape == (8, {"msr": 3, "co": 3, "nu": 5}[slot])
         assert np.isfinite(out).all()
+
+
+def test_multi80_canvas_config():
+    """Checkpoint-owned canvas/payload/slots config drives the multi-80
+    layout: the msr80 face builds an 80-canvas net with the [one-hot(4) |
+    gains | W] condition, the adapter matches manual padding, and the
+    small-task faces crop the wide canvas back to their own dims."""
+    rng = np.random.default_rng(2)
+    arch = {"proj_dim": 8, "dims": (8, 4), "canvas_dim": 80,
+            "payload_dim": 81, "slots": ["msr", "co", "nu", "msr80"]}
+    cfg = {"M": 80, "W": 10.0, "w_ref": 10.0, "scaler_min": 0.5,
+           "scaler_max": 2.5, "y_scale": 8.0, **arch}
+    task = TASKS["multi_msr80"]
+    assert task.data_dim(cfg) == 80
+    assert task.cond_dim(cfg) == 81
+
+    model = task.build_model(cfg)
+    B = 4
+    y = jnp.ones((B, 80))
+    t = jnp.zeros((B,))
+    cond = jnp.asarray(rng.uniform(0, 1, (B, 81)).astype(np.float32))
+    mask = jnp.ones((B, 1))
+    v = model.init(jax.random.PRNGKey(0), y, t, cond, mask)
+    out = model.apply(v, y, t, cond, mask)
+    assert out.shape == (B, 80)
+    inner = unet_multi(8, (8, 4), canvas_dim=80, payload_dim=81, n_slots=4)
+    onehot = jnp.tile(jnp.asarray([[0.0, 0.0, 0.0, 1.0]]), (B, 1))
+    ref = inner.apply(v, y, t, jnp.concatenate([onehot, cond], axis=1), mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
+
+    # host-side embeds follow the widened layout (payload exactly fills)
+    E = embed_cond_np(np.ones((2, 81), np.float32), "msr80",
+                      slots=arch["slots"], payload_dim=81)
+    assert E.shape == (2, 85)
+    np.testing.assert_array_equal(E[:, :4], [[0, 0, 0, 1]] * 2)
+    P = embed_y_np(np.ones((2, 3), np.float32), canvas_dim=80)
+    assert P.shape == (2, 80) and (P[:, 3:] == 0).all()
+
+    # a small-task face on the wide canvas crops back to its own dims
+    cfg3 = {"M": 3, "W": 10.0, "y_scale": 3.0, "y_shift": 10.0 / 3.0,
+            **arch}
+    Y80 = jnp.asarray(rng.normal(size=(8, 80)).astype(np.float32))
+    gains = jnp.asarray(rng.uniform(0.5, 2.5, (8, 3)).astype(np.float32))
+    a = TASKS["multi_msr"].decode_with_x(Y80, gains, cfg3)
+    b = TASKS["msr_wf"].decode_with_x(Y80[:, :3], gains, cfg3)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)

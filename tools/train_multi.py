@@ -86,6 +86,22 @@ def main():
                          "at omega~1 for every subtask")
     ap.add_argument("--proj-dim", type=int, default=128)
     ap.add_argument("--dims", type=int, nargs="+", default=[64, 32, 16, 8])
+    ap.add_argument("--canvas-dim", type=int, default=None,
+                    help="shared solution-canvas width (default: 5, the max "
+                         "small-task dim; 80 for the multi-80 family)")
+    ap.add_argument("--with-msr80", action="store_true",
+                    help="add an 'msr80' one-hot slot trained on the "
+                         "W-conditioned 80c waterfilling recipe "
+                         "(ddpm_msr_80c_budget); implies --canvas-dim 80 "
+                         "and payload 81")
+    ap.add_argument("--msr80-samples", type=int, default=250000)
+    ap.add_argument("--msr80-channels", type=int, default=80)
+    ap.add_argument("--msr80-w-min", type=float, default=5.0)
+    ap.add_argument("--msr80-w-max", type=float, default=45.0)
+    ap.add_argument("--msr80-w-step", type=float, default=2.5)
+    ap.add_argument("--msr80-exclude-budgets", type=float, nargs="*",
+                    default=[20.0, 40.0])
+    ap.add_argument("--msr80-y-scale", type=float, default=8.0)
     ap.add_argument("--out", default="ckpts/ddpm_multi")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip-eval", action="store_true")
@@ -109,7 +125,21 @@ def main():
     from diffsg_tpu.utils import save_checkpoint
     from tools.make_datasets import ensure_datasets
 
+    from diffsg_tpu.tasks.multi import D_UNI, PAYLOAD, SLOTS
+
     ensure_datasets()
+    slots = tuple(SLOTS) + (("msr80",) if args.with_msr80 else ())
+    if args.with_msr80 and args.canvas_dim is None:
+        args.canvas_dim = args.msr80_channels
+    canvas = args.canvas_dim or D_UNI
+    payload = (args.msr80_channels + 1) if args.with_msr80 else PAYLOAD
+
+    def embed_x(X, slot):
+        return embed_cond_np(X, slot, slots=slots, payload_dim=payload)
+
+    def embed_y(Y):
+        return embed_y_np(Y, canvas_dim=canvas)
+
     subtask_configs = {}
     parts_X, parts_Y = [], []
 
@@ -119,8 +149,8 @@ def main():
     msr_shift, msr_scale = W / M, 3.0
     Xm = np.tile(msr.X_train, (args.msr_repeat, 1))
     Ym = np.tile((msr.Y_train - msr_shift) * msr_scale, (args.msr_repeat, 1))
-    parts_X.append(embed_cond_np(Xm.astype(np.float32), "msr"))
-    parts_Y.append(embed_y_np(Ym.astype(np.float32)))
+    parts_X.append(embed_x(Xm.astype(np.float32), "msr"))
+    parts_Y.append(embed_y(Ym.astype(np.float32)))
     # full physics config + label transforms: lets Solver.from_checkpoint
     # serve this subtask from the multi ckpt without a dataset in hand
     subtask_configs["msr"] = {**msr.config, "y_scale": msr_scale,
@@ -131,10 +161,42 @@ def main():
     co = load_co(args.co_dataset)
     Xc = np.tile(co.X_train, (args.co_repeat, 1))
     Yc = np.tile(co.Y_train, (args.co_repeat, 1))
-    parts_X.append(embed_cond_np(Xc.astype(np.float32), "co"))
-    parts_Y.append(embed_y_np(Yc.astype(np.float32)))
+    parts_X.append(embed_x(Xc.astype(np.float32), "co"))
+    parts_Y.append(embed_y(Yc.astype(np.float32)))
     subtask_configs["co"] = dict(co.config)
     print(f"co rows: {len(Xc)} (x{args.co_repeat})")
+
+    # --- MSR-80c: W-conditioned waterfilling recipe (multi-80 only) --------
+    if args.with_msr80:
+        from diffsg_tpu.data.generators import msr_waterfilling_labels
+        from diffsg_tpu.data.loaders import MSR_W_REF
+
+        M80 = args.msr80_channels
+        grid = np.arange(args.msr80_w_min, args.msr80_w_max + 1e-9,
+                         args.msr80_w_step)
+        grid = np.array([w for w in grid
+                         if not any(abs(w - e) < 1e-9
+                                    for e in args.msr80_exclude_budgets)])
+        rng80 = np.random.default_rng(args.seed)
+        gs = rng80.uniform(0.5, 2.5, size=(args.msr80_samples, M80))
+        Ws80 = rng80.choice(grid, size=args.msr80_samples)
+        Y80 = np.zeros_like(gs)
+        for w in grid:  # exact waterfilling labels, one batch per budget
+            idx = np.nonzero(Ws80 == w)[0]
+            _, Y80[idx] = msr_waterfilling_labels(gs[idx], float(w))
+        mn80, mx80 = float(gs.min()), float(gs.max())
+        X80 = np.concatenate([(gs - mn80) / (mx80 - mn80),
+                              Ws80[:, None] / MSR_W_REF], axis=1)
+        Y80_t = (Y80 - Ws80[:, None] / M80) * args.msr80_y_scale
+        parts_X.append(embed_x(X80.astype(np.float32), "msr80"))
+        parts_Y.append(embed_y(Y80_t.astype(np.float32)))
+        subtask_configs["msr80"] = {
+            "M": M80, "W": MSR_W_REF, "w_ref": MSR_W_REF,
+            "scaler_min": mn80, "scaler_max": mx80,
+            "y_scale": args.msr80_y_scale}
+        print(f"msr80 rows: {len(X80)} over {len(grid)} budgets "
+              f"{grid[0]}..{grid[-1]} W "
+              f"(excluded: {args.msr80_exclude_budgets})")
 
     # --- NU: budget- or geometry-conditioned -------------------------------
     from diffsg_tpu.data.loaders import NU_P_REF, TRAIN_RATIO
@@ -157,9 +219,9 @@ def main():
         Xn, Yn = normalize_rows_geo(rows)
         nu_shift = Yn.mean(axis=0)
         nu_scale = 8.0
-        parts_X.append(embed_cond_np(Xn.astype(np.float32), "nu"))
+        parts_X.append(embed_x(Xn.astype(np.float32), "nu"))
         parts_Y.append(
-            embed_y_np(((Yn - nu_shift) * nu_scale).astype(np.float32)))
+            embed_y(((Yn - nu_shift) * nu_scale).astype(np.float32)))
         subtask_configs["nu_geo"] = {
             "K": 3, "P_sum": 18.0, "width": 400.0, "height": 400.0,
             "p_ref": NU_P_REF, "w_ref": 400.0, "h_ref": 400.0,
@@ -182,9 +244,9 @@ def main():
         Xn, Yn = normalize_rows(rows, w, h, p_ref)
         nu_shift = Yn.mean(axis=0)
         nu_scale = 8.0
-        parts_X.append(embed_cond_np(Xn.astype(np.float32), "nu"))
+        parts_X.append(embed_x(Xn.astype(np.float32), "nu"))
         parts_Y.append(
-            embed_y_np(((Yn - nu_shift) * nu_scale).astype(np.float32)))
+            embed_y(((Yn - nu_shift) * nu_scale).astype(np.float32)))
         subtask_configs["nu"] = {**nu.config, "p_ref": p_ref,
                                  "y_scale": nu_scale,
                                  "y_shift": [float(v) for v in nu_shift]}
@@ -196,7 +258,8 @@ def main():
     print(f"total train rows: {len(X)} "
           f"(cond {X.shape[1]}, canvas {Y.shape[1]})")
 
-    model = unet_multi(args.proj_dim, tuple(args.dims))
+    model = unet_multi(args.proj_dim, tuple(args.dims), canvas_dim=canvas,
+                       payload_dim=payload, n_slots=len(slots))
     base_cfg = TASKS["multi_nu"].train_config  # NU's 200-epoch T=20 recipe
     cfg = dataclasses.replace(base_cfg, epochs=args.epochs, lr=args.lr,
                               milestones=tuple(args.milestones),
@@ -212,7 +275,8 @@ def main():
     # truth — see unet_multi, which fixes both today).
     arch = {"proj_dim": args.proj_dim, "dims": list(args.dims),
             "n_blocks": 2, "is_attn": [False] * len(args.dims),
-            "middle_attn": False}
+            "middle_attn": False, "canvas_dim": canvas,
+            "payload_dim": payload, "slots": list(slots)}
     save_checkpoint(args.out, params, ema=ema, sched=sched, step=cfg.epochs,
                     metadata={"task": "multi",
                               "nu_mode": args.nu_mode,
@@ -242,7 +306,16 @@ def main():
     else:
         om_msr, om_co, om_nu = ((0.5, 1.0, 2.0), (1000.0, 5000.0, 20000.0),
                                 (0.0, 0.06, 0.125, 0.5))
-    evals = [
+    evals = []
+    if args.with_msr80:
+        # both 80c eval budgets are EXCLUDED from the msr80 training grid
+        evals += [
+            ("multi_msr80", "msr80",
+             "datasets/80c_20w_wf_10000samples.csv", {}, om_msr),
+            ("multi_msr80", "msr80",
+             "datasets/80c_40w_wf_2000samples_ood.csv", {}, om_msr),
+        ]
+    evals += [
         ("multi_msr", "msr", args.msr_dataset, {}, om_msr),
         ("multi_msr", "msr",
          "/root/reference/datasets/3c_20w_2000samples_ood.csv", {}, om_msr),
