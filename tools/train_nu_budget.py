@@ -73,6 +73,10 @@ def main():
                     help="train on the multi-budget set only (ablation: "
                          "NO 18 mW rows at all)")
     ap.add_argument("--grad-clip", type=float, default=1.0)
+    ap.add_argument("--parameterization", choices=["eps", "x0", "v"],
+                    default="eps",
+                    help="denoiser prediction target (parameterization-"
+                         "matrix cell; eps = reference default)")
     args = ap.parse_args()
 
     import dataclasses
@@ -117,6 +121,7 @@ def main():
                                    ("milestones", tuple(args.milestones)
                                     if args.milestones else None)]
                  if v is not None}
+    overrides["parameterization"] = args.parameterization
     cfg = dataclasses.replace(task.train_config, **overrides)
     y_shift = Y.mean(axis=0) if args.center else np.zeros(Y.shape[1])
     params, ema, sched = train_ddpm(model, X, (Y - y_shift) * args.y_scale,
@@ -126,6 +131,8 @@ def main():
         dataset_config["y_scale"] = args.y_scale
     if args.center:
         dataset_config["y_shift"] = [float(v) for v in y_shift]
+    if args.parameterization != "eps":
+        dataset_config["parameterization"] = args.parameterization
     save_checkpoint(args.out, params, ema=ema, sched=sched, step=cfg.epochs,
                     metadata={"task": "nu_budget",
                               "budget_dataset": args.budget_dataset,
@@ -133,9 +140,11 @@ def main():
                               "config": dataclasses.asdict(cfg),
                               "dataset_config": dataset_config})
 
+    from diffsg_tpu.tasks.base import CKPT_CONFIG_KEYS
+
     for name, path in (("in-dist", args.indist), ("ood", args.ood)):
         d = task.load(path)
-        d.config.update({k: dataset_config[k] for k in ("y_scale", "y_shift")
+        d.config.update({k: dataset_config[k] for k in CKPT_CONFIG_KEYS
                          if k in dataset_config})
         for om in args.omegas:
             m = evaluate(task, params, sched, d, omega=om)
