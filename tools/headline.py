@@ -56,6 +56,10 @@ line per row.  Expected values (full test splits, TPU or CPU):
   nu geo dense  round-4 densified cells: dense_w4 18mW@400x400 -> 0.99784
               (30mW 1.00187); dense_w4_fresh (fine-tuned on 4k fresh
               oracle rows) -> 0.99846 / 1.00042
+  nu geo x0f  round-5 SHIPPED universal: x0 parameterization + 15k fresh
+              home-cell rows, omega 0 single draw -> 0.99989 / 0.99987 /
+              1.00015 / 0.99809 / 1.00006 on the five configs — beats the
+              blind specialists on ALL five (two above the grid labels)
   nu direct   aug32 + centered + y_scale-8 ckpt, nu_direct decode,
               omega 0.125 single draw -> in-dist 0.9993; OOD 0.9963
               (aug2 s8 ckpt @ omega 1 -> 0.9918 / 0.9883)
@@ -302,6 +306,29 @@ def main():
             load_kw={"width": 600.0, "height": 600.0, "P_sum": 33.0})
         row("nu geo universal (200x200 12mW)", "nu_geo", "ckpts/ddpm_nu_geo",
             "datasets/3u_geo200x200_12mW_500samples.csv", omega=0.06,
+            load_kw={"width": 200.0, "height": 200.0, "P_sum": 12.0})
+        # round-5 closure: the x0-parameterized universal model trained on
+        # the dense_w4 mixture + 15k fresh home-cell oracle rows beats the
+        # blind specialists on ALL FIVE configs (RESULTS.md round-5 x0
+        # section); best omega 0 = pure conditional sampling (skip-uncond
+        # fast path).  Every row is an unseen (budget, W, H) config.
+        row("nu geo universal x0f (unseen 18mW 400x400)", "nu_geo",
+            "ckpts/ddpm_nu_geo_x0f",
+            f"{REF}/3u_18mW_10000samples.csv", omega=0.0, fast=True)
+        row("nu geo universal x0f (unseen 30mW 400x400)", "nu_geo",
+            "ckpts/ddpm_nu_geo_x0f",
+            f"{REF}/3u_30mW_1000samples_ood.csv", omega=0.0)
+        row("nu geo universal x0f (480x360 21mW)", "nu_geo",
+            "ckpts/ddpm_nu_geo_x0f",
+            "datasets/3u_geo480x360_21mW_1000samples.csv", omega=0.0,
+            load_kw={"width": 480.0, "height": 360.0, "P_sum": 21.0})
+        row("nu geo universal x0f (600x600 33mW)", "nu_geo",
+            "ckpts/ddpm_nu_geo_x0f",
+            "datasets/3u_geo600x600_33mW_500samples.csv", omega=0.0,
+            load_kw={"width": 600.0, "height": 600.0, "P_sum": 33.0})
+        row("nu geo universal x0f (200x200 12mW)", "nu_geo",
+            "ckpts/ddpm_nu_geo_x0f",
+            "datasets/3u_geo200x200_12mW_500samples.csv", omega=0.0,
             load_kw={"width": 200.0, "height": 200.0, "P_sum": 12.0})
         # round-4 densified cells (RESULTS.md "densifying nu_geo near the
         # reference geometry"): dense_w4 = proj-64 net with the specialist
