@@ -176,10 +176,14 @@ MULTI_NU_GEO = _wrap(NU_GEO, "nu", name="multi_nu_geo")
 #: checkpoint whose ``slots`` config includes "msr80" (train_multi.py
 #: --canvas-dim 80 --with-msr80).
 MULTI_MSR80 = _wrap(MSR_BUDGET, "msr80")
+#: MSR-8c face (same W-conditioned recipe at M=8; payload ``[gains (8) |
+#: W/w_ref]`` zero-padded into the widened condition) — the middle of the
+#: channel-count zoo rides the same net as 3c and 80c.
+MULTI_MSR8 = _wrap(MSR_BUDGET, "msr8")
 
 MULTI_TASKS = {"multi_msr": MULTI_MSR, "multi_co": MULTI_CO,
                "multi_nu": MULTI_NU, "multi_nu_geo": MULTI_NU_GEO,
-               "multi_msr80": MULTI_MSR80}
+               "multi_msr80": MULTI_MSR80, "multi_msr8": MULTI_MSR8}
 
 #: per-subtask config keys owned by the multi checkpoint (label transforms
 #: + the shared architecture) — see merge_multi_config.

@@ -265,3 +265,41 @@ def test_multi80_canvas_config():
     a = TASKS["multi_msr"].decode_with_x(Y80, gains, cfg3)
     b = TASKS["msr_wf"].decode_with_x(Y80[:, :3], gains, cfg3)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_multi_msr8_face():
+    """The 8c face on the widened canvas: payload [gains(8) | W] zero-pads
+    into the 81-dim condition, the adapter matches manual padding, decode
+    crops the 80-canvas to 8 dims."""
+    rng = np.random.default_rng(3)
+    arch = {"proj_dim": 8, "dims": (8, 4), "canvas_dim": 80,
+            "payload_dim": 81,
+            "slots": ["msr", "co", "nu", "msr80", "msr8"]}
+    cfg = {"M": 8, "W": 10.0, "w_ref": 10.0, "scaler_min": 0.5,
+           "scaler_max": 2.5, "y_scale": 8.0, **arch}
+    task = TASKS["multi_msr8"]
+    assert task.data_dim(cfg) == 80
+    assert task.cond_dim(cfg) == 9
+
+    model = task.build_model(cfg)
+    B = 4
+    y = jnp.ones((B, 80))
+    t = jnp.zeros((B,))
+    cond = jnp.asarray(rng.uniform(0, 1, (B, 9)).astype(np.float32))
+    mask = jnp.ones((B, 1))
+    v = model.init(jax.random.PRNGKey(0), y, t, cond, mask)
+    out = model.apply(v, y, t, cond, mask)
+    assert out.shape == (B, 80)
+    inner = unet_multi(8, (8, 4), canvas_dim=80, payload_dim=81, n_slots=5)
+    onehot = jnp.tile(jnp.asarray([[0.0] * 4 + [1.0]]), (B, 1))
+    ref = inner.apply(v, y, t, jnp.concatenate(
+        [onehot, cond, jnp.zeros((B, 81 - 9))], axis=1), mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
+
+    # decode crops the wide canvas to the 8c dims == specialist decode
+    Y80 = jnp.asarray(rng.normal(size=(8, 80)).astype(np.float32))
+    gains = jnp.asarray(rng.uniform(0.5, 2.5, (8, 8)).astype(np.float32))
+    Xb = jnp.concatenate([gains, jnp.ones((8, 1))], axis=1)
+    a = task.decode_with_x(Y80, Xb, cfg)
+    b = TASKS["msr_budget"].decode_with_x(Y80[:, :8], Xb, cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)

@@ -21,6 +21,12 @@ shared condition exactly) trained on the dense_w4 mixed-geometry mixture,
 so the one checkpoint serves any task x budget x rectangle; served as
 ``multi_nu_geo``.
 
+``--with-msr80`` / ``--with-msr8`` widen the canvas to 80 and add one-hot
+slots for the W-conditioned waterfilling recipes at M=80 and M=8 (payload
+``[gains | W/w_ref]``; all four MSR eval budgets excluded from the
+training grids), putting the reference's whole channel-count zoo on the
+one net; served as ``multi_msr80`` / ``multi_msr8``.
+
 Subtask rows are repeated/augmented to roughly equal thirds so the one-hot
 classes stay balanced.  The per-subtask label transforms are stored in the
 checkpoint metadata under ``subtask_configs`` and merged back at eval with
@@ -102,6 +108,15 @@ def main():
     ap.add_argument("--msr80-exclude-budgets", type=float, nargs="*",
                     default=[20.0, 40.0])
     ap.add_argument("--msr80-y-scale", type=float, default=8.0)
+    ap.add_argument("--with-msr8", action="store_true",
+                    help="add an 'msr8' one-hot slot: the same W-conditioned "
+                         "waterfilling recipe at M=8 (the middle of the "
+                         "reference's channel-count zoo) on the shared wide "
+                         "canvas; both 8c eval budgets (10/20 W) are "
+                         "excluded from its training grid")
+    ap.add_argument("--msr8-samples", type=int, default=100000)
+    ap.add_argument("--msr8-exclude-budgets", type=float, nargs="*",
+                    default=[10.0, 20.0])
     ap.add_argument("--out", default="ckpts/ddpm_multi")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip-eval", action="store_true")
@@ -128,9 +143,12 @@ def main():
     from diffsg_tpu.tasks.multi import D_UNI, PAYLOAD, SLOTS
 
     ensure_datasets()
-    slots = tuple(SLOTS) + (("msr80",) if args.with_msr80 else ())
+    slots = (tuple(SLOTS) + (("msr80",) if args.with_msr80 else ())
+             + (("msr8",) if args.with_msr8 else ()))
     if args.with_msr80 and args.canvas_dim is None:
         args.canvas_dim = args.msr80_channels
+    if args.with_msr8 and (args.canvas_dim or D_UNI) < 8:
+        args.canvas_dim = 8
     canvas = args.canvas_dim or D_UNI
     payload = (args.msr80_channels + 1) if args.with_msr80 else PAYLOAD
 
@@ -166,37 +184,41 @@ def main():
     subtask_configs["co"] = dict(co.config)
     print(f"co rows: {len(Xc)} (x{args.co_repeat})")
 
-    # --- MSR-80c: W-conditioned waterfilling recipe (multi-80 only) --------
+    # --- wide-MSR slots: W-conditioned waterfilling recipe (multi-80) ------
+    wide_msr = []
     if args.with_msr80:
+        wide_msr.append(("msr80", args.msr80_channels, args.msr80_samples,
+                         args.msr80_exclude_budgets))
+    if args.with_msr8:
+        wide_msr.append(("msr8", 8, args.msr8_samples,
+                         args.msr8_exclude_budgets))
+    for si, (slot_w, Mw, n_w, excl_w) in enumerate(wide_msr):
         from diffsg_tpu.data.generators import msr_waterfilling_labels
         from diffsg_tpu.data.loaders import MSR_W_REF
 
-        M80 = args.msr80_channels
         grid = np.arange(args.msr80_w_min, args.msr80_w_max + 1e-9,
                          args.msr80_w_step)
         grid = np.array([w for w in grid
-                         if not any(abs(w - e) < 1e-9
-                                    for e in args.msr80_exclude_budgets)])
-        rng80 = np.random.default_rng(args.seed)
-        gs = rng80.uniform(0.5, 2.5, size=(args.msr80_samples, M80))
-        Ws80 = rng80.choice(grid, size=args.msr80_samples)
-        Y80 = np.zeros_like(gs)
+                         if not any(abs(w - e) < 1e-9 for e in excl_w)])
+        rng_w = np.random.default_rng(args.seed + 100 + si)
+        gs = rng_w.uniform(0.5, 2.5, size=(n_w, Mw))
+        Ws = rng_w.choice(grid, size=n_w)
+        Yw = np.zeros_like(gs)
         for w in grid:  # exact waterfilling labels, one batch per budget
-            idx = np.nonzero(Ws80 == w)[0]
-            _, Y80[idx] = msr_waterfilling_labels(gs[idx], float(w))
-        mn80, mx80 = float(gs.min()), float(gs.max())
-        X80 = np.concatenate([(gs - mn80) / (mx80 - mn80),
-                              Ws80[:, None] / MSR_W_REF], axis=1)
-        Y80_t = (Y80 - Ws80[:, None] / M80) * args.msr80_y_scale
-        parts_X.append(embed_x(X80.astype(np.float32), "msr80"))
-        parts_Y.append(embed_y(Y80_t.astype(np.float32)))
-        subtask_configs["msr80"] = {
-            "M": M80, "W": MSR_W_REF, "w_ref": MSR_W_REF,
-            "scaler_min": mn80, "scaler_max": mx80,
+            idx = np.nonzero(Ws == w)[0]
+            _, Yw[idx] = msr_waterfilling_labels(gs[idx], float(w))
+        mn_w, mx_w = float(gs.min()), float(gs.max())
+        Xw = np.concatenate([(gs - mn_w) / (mx_w - mn_w),
+                             Ws[:, None] / MSR_W_REF], axis=1)
+        Yw_t = (Yw - Ws[:, None] / Mw) * args.msr80_y_scale
+        parts_X.append(embed_x(Xw.astype(np.float32), slot_w))
+        parts_Y.append(embed_y(Yw_t.astype(np.float32)))
+        subtask_configs[slot_w] = {
+            "M": Mw, "W": MSR_W_REF, "w_ref": MSR_W_REF,
+            "scaler_min": mn_w, "scaler_max": mx_w,
             "y_scale": args.msr80_y_scale}
-        print(f"msr80 rows: {len(X80)} over {len(grid)} budgets "
-              f"{grid[0]}..{grid[-1]} W "
-              f"(excluded: {args.msr80_exclude_budgets})")
+        print(f"{slot_w} rows: {len(Xw)} over {len(grid)} budgets "
+              f"{grid[0]}..{grid[-1]} W (excluded: {excl_w})")
 
     # --- NU: budget- or geometry-conditioned -------------------------------
     from diffsg_tpu.data.loaders import NU_P_REF, TRAIN_RATIO
@@ -314,6 +336,14 @@ def main():
              "datasets/80c_20w_wf_10000samples.csv", {}, om_msr),
             ("multi_msr80", "msr80",
              "datasets/80c_40w_wf_2000samples_ood.csv", {}, om_msr),
+        ]
+    if args.with_msr8:
+        # both 8c eval budgets are EXCLUDED from the msr8 training grid
+        evals += [
+            ("multi_msr8", "msr8",
+             "datasets/8c_10w_wf_10000samples.csv", {}, om_msr),
+            ("multi_msr8", "msr8",
+             "datasets/8c_20w_wf_2000samples_ood.csv", {}, om_msr),
         ]
     evals += [
         ("multi_msr", "msr", args.msr_dataset, {}, om_msr),
