@@ -353,11 +353,12 @@ def main():
         # per-subtask physics + label transforms from checkpoint metadata.
         from diffsg_tpu.tasks.multi import merge_multi_config
 
-        def mrow(name, task_key, dataset, omega, load_kw=None, fast=False):
+        def mrow(name, task_key, dataset, omega, load_kw=None, fast=False,
+                 ckpt="ckpts/ddpm_multi"):
             if args.fast and not fast:
                 return
             task = TASKS[task_key]
-            ck = load_checkpoint("ckpts/ddpm_multi")
+            ck = load_checkpoint(ckpt)
             data = task.load(dataset, **(load_kw or {}))
             limit_data(data)
             merge_multi_config(data.config, ck["metadata"],
@@ -377,6 +378,48 @@ def main():
              f"{REF}/3u_18mW_10000samples.csv", 0.0)
         mrow("multi nu OOD 30mW single-draw", "multi_nu",
              f"{REF}/3u_30mW_1000samples_ood.csv", 0.0)
+        # geometry-unified multi (round 5): the NU slot carries the FULL
+        # nu_geo condition, so ONE ckpt serves any task x budget x
+        # rectangle; all five geo configs are unseen (budget, W, H) combos
+        # (RESULTS.md "the geometry-unified multi checkpoint").
+        GEO = "ckpts/ddpm_multi_geo"
+        mrow("multi_geo nu 18mW 400x400 (unseen)", "multi_nu_geo",
+             f"{REF}/3u_18mW_10000samples.csv", 0.0, ckpt=GEO)
+        mrow("multi_geo nu OOD 30mW 400x400 (unseen)", "multi_nu_geo",
+             f"{REF}/3u_30mW_1000samples_ood.csv", 0.0, ckpt=GEO)
+        mrow("multi_geo nu 480x360 21mW", "multi_nu_geo",
+             "datasets/3u_geo480x360_21mW_1000samples.csv", 0.0, ckpt=GEO,
+             load_kw={"width": 480.0, "height": 360.0, "P_sum": 21.0})
+        mrow("multi_geo nu 600x600 33mW", "multi_nu_geo",
+             "datasets/3u_geo600x600_33mW_500samples.csv", 0.0, ckpt=GEO,
+             load_kw={"width": 600.0, "height": 600.0, "P_sum": 33.0})
+        mrow("multi_geo nu 200x200 12mW", "multi_nu_geo",
+             "datasets/3u_geo200x200_12mW_500samples.csv", 0.0, ckpt=GEO,
+             load_kw={"width": 200.0, "height": 200.0, "P_sum": 12.0})
+        mrow("multi_geo msr_3c single-draw", "multi_msr",
+             f"{REF}/3c_10w_10000samples.csv", 0.5, ckpt=GEO)
+        mrow("multi_geo co ranked single-draw", "multi_co",
+             "datasets/3nodes_50000samples_new.csv", 0.5, ckpt=GEO)
+        # multi-80 (round 5): the widened canvas carries the whole MSR
+        # channel zoo (3c/8c/80c, all four wide budgets unseen) + CO + NU
+        # on one proj-256 net (RESULTS.md "the multi-80 checkpoint").
+        M80 = "ckpts/ddpm_multi_80"
+        mrow("multi_80 msr_80c 20w (unseen)", "multi_msr80",
+             "datasets/80c_20w_wf_10000samples.csv", 0.5, ckpt=M80)
+        mrow("multi_80 msr_80c OOD 40w (unseen)", "multi_msr80",
+             "datasets/80c_40w_wf_2000samples_ood.csv", 0.5, ckpt=M80)
+        mrow("multi_80 msr_8c 10w (unseen)", "multi_msr8",
+             "datasets/8c_10w_wf_10000samples.csv", 0.5, ckpt=M80)
+        mrow("multi_80 msr_8c OOD 20w (unseen)", "multi_msr8",
+             "datasets/8c_20w_wf_2000samples_ood.csv", 0.5, ckpt=M80)
+        mrow("multi_80 msr_3c single-draw", "multi_msr",
+             f"{REF}/3c_10w_10000samples.csv", 0.5, ckpt=M80)
+        mrow("multi_80 co ranked single-draw", "multi_co",
+             "datasets/3nodes_50000samples_new.csv", 0.5, ckpt=M80)
+        mrow("multi_80 nu single-draw", "multi_nu",
+             f"{REF}/3u_18mW_10000samples.csv", 0.0, ckpt=M80)
+        mrow("multi_80 nu OOD 30mW single-draw", "multi_nu",
+             f"{REF}/3u_30mW_1000samples_ood.csv", 0.0, ckpt=M80)
     if "hybrid" in args.tasks:
         # hybrid diffusion + local search (ops.refine): single draw + 50
         # projected-gradient steps on the exact objective (RESULTS.md
