@@ -420,6 +420,23 @@ def main():
              f"{REF}/3u_18mW_10000samples.csv", 0.0, ckpt=M80)
         mrow("multi_80 nu OOD 30mW single-draw", "multi_nu",
              f"{REF}/3u_30mW_1000samples_ood.csv", 0.0, ckpt=M80)
+        # grand-unified zoo ckpt (round 5): geometry-conditioned NU + the
+        # whole W-conditioned channel zoo + CO on ONE 80-canvas net — the
+        # measured cost of total unification (RESULTS.md "the
+        # grand-unified zoo checkpoint").
+        ZOO = "ckpts/ddpm_multi_zoo"
+        mrow("multi_zoo nu 18mW 400x400 (unseen)", "multi_nu_geo",
+             f"{REF}/3u_18mW_10000samples.csv", 0.0, ckpt=ZOO)
+        mrow("multi_zoo nu OOD 30mW 400x400 (unseen)", "multi_nu_geo",
+             f"{REF}/3u_30mW_1000samples_ood.csv", 0.0, ckpt=ZOO)
+        mrow("multi_zoo msr_80c 20w (unseen)", "multi_msr80",
+             "datasets/80c_20w_wf_10000samples.csv", 0.5, ckpt=ZOO)
+        mrow("multi_zoo msr_8c 10w (unseen)", "multi_msr8",
+             "datasets/8c_10w_wf_10000samples.csv", 0.5, ckpt=ZOO)
+        mrow("multi_zoo msr_3c single-draw", "multi_msr",
+             f"{REF}/3c_10w_10000samples.csv", 0.5, ckpt=ZOO)
+        mrow("multi_zoo co ranked single-draw", "multi_co",
+             "datasets/3nodes_50000samples_new.csv", 0.5, ckpt=ZOO)
     if "hybrid" in args.tasks:
         # hybrid diffusion + local search (ops.refine): single draw + 50
         # projected-gradient steps on the exact objective (RESULTS.md
