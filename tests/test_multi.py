@@ -303,3 +303,56 @@ def test_multi_msr8_face():
     a = task.decode_with_x(Y80, Xb, cfg)
     b = TASKS["msr_budget"].decode_with_x(Y80[:, :8], Xb, cfg)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_multi80_solver_serves_wide_faces(tmp_path):
+    """ONE saved multi-80 checkpoint serves the msr80 AND msr8 faces
+    through serve.Solver (the round-5 wide-canvas production path):
+    feasible simplex decode at the configured W, physics resolved from
+    checkpoint metadata alone."""
+    from diffsg_tpu.data.generators import msr_waterfilling_labels
+    from diffsg_tpu.serve import Solver
+    from diffsg_tpu.train import train_ddpm
+    from diffsg_tpu.utils import save_checkpoint
+
+    slots = ["msr", "co", "nu", "msr80", "msr8"]
+    rng = np.random.default_rng(0)
+    parts_X, parts_Y, sub = [], [], {}
+    for slot, M in (("msr80", 80), ("msr8", 8)):
+        gs = rng.uniform(0.5, 2.5, (96, M))
+        Ws = rng.choice([5.0, 15.0, 25.0], size=96)
+        Yw = np.zeros_like(gs)
+        for w in (5.0, 15.0, 25.0):
+            idx = np.nonzero(Ws == w)[0]
+            _, Yw[idx] = msr_waterfilling_labels(gs[idx], w)
+        mn, mx = float(gs.min()), float(gs.max())
+        X = np.concatenate([(gs - mn) / (mx - mn), Ws[:, None] / 10.0], 1)
+        Yt = (Yw - Ws[:, None] / M) * 8.0
+        parts_X.append(embed_cond_np(X.astype(np.float32), slot,
+                                     slots=slots, payload_dim=81))
+        parts_Y.append(embed_y_np(Yt.astype(np.float32), canvas_dim=80))
+        sub[slot] = {"M": M, "W": 10.0, "w_ref": 10.0, "scaler_min": mn,
+                     "scaler_max": mx, "y_scale": 8.0,
+                     "parameterization": "x0"}
+    model = unet_multi(8, (8, 4), canvas_dim=80, payload_dim=81, n_slots=5)
+    cfg = dataclasses.replace(TASKS["multi_nu"].train_config, epochs=2,
+                              batch_size=64, grad_clip=1.0,
+                              parameterization="x0")
+    params, _, sched = train_ddpm(model, np.concatenate(parts_X),
+                                  np.concatenate(parts_Y), cfg)
+    arch = {"proj_dim": 8, "dims": [8, 4], "n_blocks": 2,
+            "is_attn": [False, False], "middle_attn": False,
+            "canvas_dim": 80, "payload_dim": 81, "slots": slots}
+    ck = tmp_path / "ck_multi80"
+    save_checkpoint(str(ck), params, sched=sched, step=2,
+                    metadata={"task": "multi", "arch": arch,
+                              "subtask_configs": sub})
+    for task_key, M in (("multi_msr80", 80), ("multi_msr8", 8)):
+        sv = Solver.from_checkpoint(str(ck), task=task_key)
+        gs = rng.uniform(0.5, 2.5, (8, M)).astype(np.float32)
+        Xq = np.concatenate([(gs - 0.5) / 2.0,
+                             np.full((8, 1), 1.5, np.float32)], 1)
+        out = sv.solve(Xq, omega=1.0)
+        assert out.shape == (8, M) and np.isfinite(out).all()
+        np.testing.assert_allclose(out.sum(1), 10.0, rtol=1e-3)
+        assert (out >= -1e-5).all()
